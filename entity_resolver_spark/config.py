@@ -1,0 +1,132 @@
+"""Pipeline configuration.
+
+Mirrors the *structure* of the reference's pydantic config
+(/root/reference/entity_resolver/config/schema.py — columns /
+normalization / blocking / scoring / clustering / validation / output
+sections, strict validation, one global random seed propagated
+everywhere) without porting its GPU-specific knobs.
+"""
+
+from __future__ import annotations
+
+from pydantic import BaseModel, ConfigDict, Field
+
+
+class ColumnsConfig(BaseModel):
+    """Input column names (reference: config/schema.py:240-266)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    conv_id: str = "conv_id"
+    turn_idx: str = "turn_idx"
+    role: str = "role"
+    text: str = "text"
+    tool: str = "tool"
+    ts: str = "ts"
+
+
+class NormalizationConfig(BaseModel):
+    """Text normalization (reference: normalizer.py:212-415)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    lowercase: bool = True
+    nfkc: bool = True
+    strip_punctuation: bool = True
+    collapse_whitespace: bool = True
+    min_length: int = 2  # below this, fall back to minimal normalization
+    empty_fallback: str = "unknown_entity"
+    # iterative suffix removal passes (reference: normalizer.py:320-337)
+    suffix_passes: int = 3
+
+
+class BlockingConfig(BaseModel):
+    """Candidate generation (reference kNN O5 -> deterministic keys + LSH)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    # deterministic channel: bottom-k of hashed distinct tokens
+    det_key_size: int = 2
+    # MinHash/LSH channel
+    minhash_hashes: int = 24
+    lsh_bands: int = 6           # rows per band = minhash_hashes // lsh_bands
+    # rare-token channel: keys per record (C3)
+    rare_tokens_per_record: int = 5
+    # skew control (reference analog: max_pairs_per_chunk schema.py:1534-1540)
+    max_block_size: int = 200    # records per block before salting/cap
+    max_pairs_per_block: int = 20_000
+    # stop-key filter: drop blocking keys shared by more than this fraction
+    # of records (reference analog: tfidf max_df=0.99, schema.py:583-585)
+    stop_key_fraction: float = 0.2
+    min_tokens: int = 1
+
+
+class ScoringConfig(BaseModel):
+    """Pairwise scoring weights (reference: K8 validator.py:396-401)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    w_jaro_winkler: float = 0.20
+    w_levenshtein: float = 0.30
+    w_cosine: float = 0.50
+    edge_threshold: float = 0.55          # pairs scoring >= this become edges
+    lev_prefix_chars: int = 256           # cap built-in levenshtein() cost
+    jw_prefix_chars: int = 64             # JW is a prefix-heavy measure anyway
+    tfidf_num_features: int = 1 << 18     # hashed TF-IDF dimension
+    tfidf_min_df: int = 1
+
+
+class ClusteringConfig(BaseModel):
+    """Connected components (reference: graph.py:137-230 + G4/G5 collapsed)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    max_iterations: int = 20
+    checkpoint_every: int = 1
+
+
+class ValidationConfig(BaseModel):
+    """Cluster validation / splits (reference: refiner.py:423-589 analogs)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    enforce_unique_entity: bool = True    # Q1 gate (utils/validation.py:48-90)
+    split_on_tool_conflict: bool = False  # transcript analog of state splits
+    max_ts_gap_days: int | None = None    # wide time-range split (off by default)
+
+
+class ConfidenceConfig(BaseModel):
+    """Confidence scoring (reference: scorer.py:98-141, schema.py:1590-1637)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    w_avg_edge_score: float = 0.45
+    w_cohesion: float = 0.30
+    w_size_factor: float = 0.25
+    buckets: tuple[float, ...] = (0.0, 0.5, 0.7, 0.85, 1.0)
+    categories: tuple[str, ...] = ("Low", "Medium", "High", "Very High")
+    review_threshold: float = 0.75        # scorer.py:158-179
+
+
+class OutputConfig(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+
+    checkpoint_dir: str | None = None     # per-stage parquet checkpoints
+    resume: bool = True
+
+
+class ResolverConfig(BaseModel):
+    """Top-level config; one global seed propagated to every sampling site
+    (reference: config/schema.py:1738-1766)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    columns: ColumnsConfig = Field(default_factory=ColumnsConfig)
+    normalization: NormalizationConfig = Field(default_factory=NormalizationConfig)
+    blocking: BlockingConfig = Field(default_factory=BlockingConfig)
+    scoring: ScoringConfig = Field(default_factory=ScoringConfig)
+    clustering: ClusteringConfig = Field(default_factory=ClusteringConfig)
+    validation: ValidationConfig = Field(default_factory=ValidationConfig)
+    confidence: ConfidenceConfig = Field(default_factory=ConfidenceConfig)
+    output: OutputConfig = Field(default_factory=OutputConfig)
+    random_seed: int = 42

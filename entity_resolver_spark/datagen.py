@@ -1,0 +1,204 @@
+"""Deterministic synthetic transcript corpus with labeled duplicate pairs.
+
+Plays the role the reference's (absent) test corpus should have played
+(reference ships 0 lines of tests — /root/reference/tests/test_resolver.py).
+Seeded (default 42), pure numpy — no external data. Produces:
+
+  * transcripts(conv_id, turn_idx:int32, role, text, tool, ts) — rows
+    emitted SHUFFLED so every consumer must prove stable
+    (conv_id, turn_idx) ordering (FIXTURES.md F1);
+  * labeled pairs (conv_id_a, conv_id_b, is_match, perturbation) —
+    exhaustive within each duplicate family plus hard negatives
+    (FIXTURES.md F2).
+
+Duplicate variants are produced by perturbation kinds: exact, typo,
+paraphrase, turn_reorder, truncate, role_noise; hard negatives are
+distinct conversations sharing vocabulary.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import itertools
+
+import numpy as np
+import pandas as pd
+
+ROLES = ["user", "assistant", "system", "tool"]
+TOOLS = ["", "search", "browser", "calculator", "code_exec", "file_read"]
+
+# small deterministic vocabulary; topic words give conversations within a
+# family shared distinctive tokens, filler is shared across everyone
+# (that makes hard negatives genuinely hard).
+_TOPICS = [
+    "billing invoice refund payment subscription charge credit proration",
+    "deploy kubernetes rollout container registry helm replica ingress",
+    "password login authentication token session expiry lockout reset",
+    "shipping package tracking courier customs delivery warehouse label",
+    "database migration schema index replica latency vacuum partition",
+    "flight booking itinerary layover baggage upgrade cancellation seat",
+    "insurance claim policy deductible adjuster premium coverage appraisal",
+    "laptop battery thermal fan firmware bios display hinge keyboard",
+    "tax filing deduction bracket withholding estimate penalty extension",
+    "garden irrigation compost seedling pruning fertilizer mulch trellis",
+]
+_FILLER = (
+    "please can you help me with the issue i am seeing when trying to "
+    "get this working thanks for the detail let me check that now okay "
+    "it looks like we should first confirm and then proceed with next step"
+).split()
+
+_SYNONYMS = {
+    "please": "kindly", "help": "assist", "issue": "problem",
+    "check": "verify", "confirm": "validate", "proceed": "continue",
+    "working": "functioning", "detail": "information", "okay": "alright",
+    "first": "initially", "now": "currently", "thanks": "thank",
+}
+
+PERTURBATIONS = ["exact", "typo", "paraphrase", "turn_reorder", "truncate", "role_noise"]
+
+# unicode-messy variants exercised on a slice of base turns (NFKC cases)
+_UNICODE_MESS = [
+    ("a", "ａ"),       # fullwidth a
+    (" ", " "),       # nbsp
+    ("'", "’"),       # smart quote
+    ("", "​"),        # zero-width space injected
+]
+
+
+def _typo(word: str, rng: np.random.Generator) -> str:
+    if len(word) < 4:
+        return word
+    i = int(rng.integers(1, len(word) - 1))
+    op = int(rng.integers(0, 3))
+    if op == 0:  # swap
+        return word[: i - 1] + word[i] + word[i - 1] + word[i + 1:]
+    if op == 1:  # drop
+        return word[:i] + word[i + 1:]
+    return word[:i] + word[i] + word[i:]  # double
+
+
+def _base_turns(base_id: int, rng: np.random.Generator) -> list[tuple[str, str, str]]:
+    """Return [(role, text, tool)] for one base conversation."""
+    topic = _TOPICS[base_id % len(_TOPICS)].split()
+    n_turns = int(rng.integers(3, 12))
+    turns = []
+    for t in range(n_turns):
+        role = ROLES[t % 2] if rng.random() > 0.1 else str(rng.choice(ROLES))
+        n_words = int(rng.integers(6, 18))
+        words = []
+        for _ in range(n_words):
+            if rng.random() < 0.45:
+                words.append(str(rng.choice(topic)))
+            else:
+                words.append(str(rng.choice(_FILLER)))
+        # anchor tokens: rare family-specific identifiers that survive
+        # perturbation — like the reference's entity names
+        if t == 0:
+            words.insert(0, f"case{base_id:05d}")
+        text = " ".join(words)
+        if rng.random() < 0.15:  # unicode mess on some base turns
+            src, dst = _UNICODE_MESS[int(rng.integers(0, len(_UNICODE_MESS)))]
+            text = text.replace(src, dst, 1) if src else dst.join([text[:10], text[10:]])
+        tool = str(rng.choice(TOOLS)) if role in ("assistant", "tool") else ""
+        turns.append((role, text, tool))
+    return turns
+
+
+def _perturb(
+    turns: list[tuple[str, str, str]], kind: str, rng: np.random.Generator
+) -> list[tuple[str, str, str]]:
+    out = [list(t) for t in turns]
+    if kind == "exact":
+        pass
+    elif kind == "typo":
+        for t in out:
+            words = t[1].split()
+            for i in range(len(words)):
+                if rng.random() < 0.06 and not words[i].startswith("case"):
+                    words[i] = _typo(words[i], rng)
+            t[1] = " ".join(words)
+    elif kind == "paraphrase":
+        for t in out:
+            words = t[1].split()
+            for i, w in enumerate(words):
+                if w in _SYNONYMS and rng.random() < 0.7:
+                    words[i] = _SYNONYMS[w]
+            t[1] = " ".join(words)
+    elif kind == "turn_reorder":
+        if len(out) >= 4:
+            i = int(rng.integers(1, len(out) - 2))
+            out[i], out[i + 1] = out[i + 1], out[i]
+    elif kind == "truncate":
+        keep = max(2, int(len(out) * 0.8))
+        out = out[:keep]
+    elif kind == "role_noise":
+        for t in out:
+            if rng.random() < 0.3:
+                t[0] = str(rng.choice(ROLES))
+    else:
+        raise ValueError(kind)
+    return [tuple(t) for t in out]
+
+
+def generate_corpus(
+    n_base: int = 200, seed: int = 42, dup_min: int = 1, dup_max: int = 4
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Return (transcripts_pdf, labeled_pairs_pdf), fully deterministic."""
+    rng = np.random.default_rng(seed)
+    rows: list[tuple] = []
+    families: dict[int, list[str]] = {}
+    perturb_of: dict[str, str] = {}
+    t0 = _dt.datetime(2026, 1, 1)
+
+    for b in range(n_base):
+        base_turns = _base_turns(b, rng)
+        variants = [("exact", base_turns)]
+        n_dup = int(rng.integers(dup_min, dup_max + 1))
+        for d in range(n_dup):
+            kind = PERTURBATIONS[int(rng.integers(1, len(PERTURBATIONS)))]
+            variants.append((kind, _perturb(base_turns, kind, rng)))
+        conv_ids = []
+        for v, (kind, turns) in enumerate(variants):
+            conv_id = f"conv_{b:05d}_{v}"
+            conv_ids.append(conv_id)
+            perturb_of[conv_id] = kind
+            start = t0 + _dt.timedelta(minutes=int(rng.integers(0, 500_000)))
+            for idx, (role, text, tool) in enumerate(turns):
+                ts = start + _dt.timedelta(seconds=30 * idx)
+                rows.append((conv_id, np.int32(idx), role, text, tool, ts))
+        families[b] = conv_ids
+
+    transcripts = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    transcripts["turn_idx"] = transcripts["turn_idx"].astype("int32")
+    # shuffled emission: consumers must sort by (conv_id, turn_idx)
+    transcripts = transcripts.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+
+    # labeled pairs: exhaustive positives within each family
+    pair_rows = []
+    for b, ids in families.items():
+        for a, c in itertools.combinations(sorted(ids), 2):
+            pair_rows.append((a, c, True, perturb_of[c]))
+    # hard negatives: same-topic different-base conversations (shared vocab)
+    bases = sorted(families)
+    for b in bases:
+        other = b + len(_TOPICS)  # same topic index
+        if other in families:
+            a = families[b][0]
+            c = families[other][0]
+            lo, hi = (a, c) if a < c else (c, a)
+            pair_rows.append((lo, hi, False, "hard_negative"))
+    labeled = pd.DataFrame(
+        pair_rows, columns=["conv_id_a", "conv_id_b", "is_match", "perturbation"]
+    )
+    return transcripts, labeled
+
+
+def corpus_spark(spark, n_base: int = 200, seed: int = 42):
+    """(transcripts_df, labeled_pairs_df) as Spark DataFrames."""
+    tp, lp = generate_corpus(n_base=n_base, seed=seed)
+    tdf = spark.createDataFrame(tp)
+    ldf = spark.createDataFrame(lp)
+    return tdf, ldf

@@ -1,0 +1,148 @@
+"""Blocking / candidate-pair generation (SURVEY J12, O5, P9 analog).
+
+The reference generates candidates with brute-force GPU kNN
+(/root/reference/entity_resolver/utils/similarity.py:492-511) plus a
+deterministic normalized address key (utils/address.py:261-337).
+Neither scales to 10^12 turns; here candidates come from three
+independent, unioned channels — all computed with built-in JVM
+expressions (no shuffle for signatures, no Python):
+
+  C1 det:  bottom-k of xxhash64 over the distinct-token set — a
+           deterministic signature robust to turn reordering (P9 analog);
+  C2 lsh:  MinHash signatures (n hashes as array_min over per-token
+           xxhash64 with per-hash seeds), banded b x r — the classic
+           LSH recall channel for near-duplicates;
+  C3 rare: the per-record R globally-rarest tokens (2 <= df <= cap) —
+           high-precision keys for records sharing distinctive
+           identifiers; common tokens never become keys, which is
+           built-in skew protection.
+
+Skew handling (north rule, explicit):
+  * stop-key filter: any key covering > stop_key_fraction of records
+    is dropped (reference analog: TF-IDF max_df, schema.py:583-585);
+  * block-size cap: blocks larger than max_block_size are dropped and
+    COUNTED in the returned metrics (reference analog:
+    max_pairs_per_chunk, schema.py:1534-1540) — at 100TB a block that
+    big is a degenerate key, not signal;
+  * pair dedup across channels via distinct on (a, b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from entity_resolver_spark.config import BlockingConfig
+
+
+def det_key(tokens_col, k: int) -> "F.Column":
+    """Deterministic signature: bottom-k hashed distinct tokens, joined."""
+    hashed = F.array_sort(F.transform(tokens_col, lambda t: F.xxhash64(t)))
+    return F.concat_ws("|", F.transform(F.slice(hashed, 1, k), lambda h: h.cast("string")))
+
+
+def minhash_signature(tokens_col, n_hashes: int) -> "F.Column":
+    """MinHash signature as array<bigint>: sig[i] = min over tokens of
+    xxhash64(i, token). Pure column expression — zero shuffle."""
+    return F.array(
+        *[
+            F.array_min(F.transform(tokens_col, lambda t, i=i: F.xxhash64(F.lit(i), t)))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def band_keys(sig_col, n_hashes: int, n_bands: int) -> "F.Column":
+    """Array of band keys 'b<i>:<h1>_<h2>_...' from a MinHash signature."""
+    rows = n_hashes // n_bands
+    return F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(f"b{b}"),
+                *[sig_col[b * rows + r].cast("string") for r in range(rows)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def blocking_keys(records: DataFrame, cfg: BlockingConfig) -> DataFrame:
+    """records(conv_id, tokens, ...) -> (conv_id, block_key) long table.
+
+    Emits all three channels; empty-token records get no keys (they
+    cannot match anything anyway — reference drops empties the same
+    way, normalizer.py:455-463).
+    """
+    recs = records.select("conv_id", "tokens").where(
+        F.size("tokens") >= cfg.min_tokens
+    )
+
+    c1 = recs.select(
+        "conv_id", F.concat(F.lit("det:"), det_key(F.col("tokens"), cfg.det_key_size)).alias("block_key")
+    )
+
+    sig = recs.withColumn(
+        "sig", minhash_signature(F.col("tokens"), cfg.minhash_hashes)
+    )
+    c2 = sig.select(
+        "conv_id",
+        F.explode(band_keys(F.col("sig"), cfg.minhash_hashes, cfg.lsh_bands)).alias(
+            "block_key"
+        ),
+    ).withColumn("block_key", F.concat(F.lit("lsh:"), F.col("block_key")))
+
+    # C3: per-record rarest tokens by global document frequency
+    exploded = recs.select("conv_id", F.explode("tokens").alias("token"))
+    df_table = (
+        exploded.groupBy("token")
+        .agg(F.countDistinct("conv_id").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= cfg.max_block_size))
+    )
+    rare_rank = W.partitionBy("conv_id").orderBy(F.col("df").asc(), F.col("token").asc())
+    c3 = (
+        exploded.join(df_table, "token")
+        .withColumn("rk", F.row_number().over(rare_rank))
+        .where(F.col("rk") <= cfg.rare_tokens_per_record)
+        .select("conv_id", F.concat(F.lit("rt:"), F.col("token")).alias("block_key"))
+    )
+
+    return c1.unionByName(c2).unionByName(c3)
+
+
+def candidate_pairs(
+    records: DataFrame, cfg: BlockingConfig
+) -> tuple[DataFrame, DataFrame]:
+    """-> (pairs(conv_a, conv_b, n_shared_keys), block_metrics).
+
+    block_metrics(block_key, block_size, status in {'ok','capped','stop'})
+    is the per-stage lineage the north rule asks for.
+    """
+    keys = blocking_keys(records, cfg)
+    n_records = records.count()
+    stop_n = max(int(cfg.stop_key_fraction * n_records), cfg.max_block_size)
+
+    sizes = keys.groupBy("block_key").agg(F.count("*").alias("block_size"))
+    metrics = sizes.withColumn(
+        "status",
+        F.when(F.col("block_size") > stop_n, F.lit("stop"))
+        .when(F.col("block_size") > cfg.max_block_size, F.lit("capped"))
+        .otherwise(F.lit("ok")),
+    )
+    ok_keys = metrics.where(
+        (F.col("status") == "ok") & (F.col("block_size") >= 2)
+    ).select("block_key")
+
+    # keep only usable keys, then block-local self-join; broadcast the
+    # key filter only if small — Catalyst/AQE decides via stats
+    k = keys.join(ok_keys, "block_key")
+    a = k.select(F.col("block_key"), F.col("conv_id").alias("conv_a"))
+    b = k.select(F.col("block_key"), F.col("conv_id").alias("conv_b"))
+    pairs = (
+        a.join(b, "block_key")
+        .where(F.col("conv_a") < F.col("conv_b"))
+        .groupBy("conv_a", "conv_b")
+        .agg(F.count("*").alias("n_shared_keys"))
+    )
+    return pairs, metrics

@@ -1,0 +1,143 @@
+"""Canonical record selection per cluster (SURVEY A2/A5/K7/W2/J11).
+
+Reference: canonical-name scoring (centrality + frequency) x
+length_bonus in /root/reference/entity_resolver/utils/text.py:297-358
+(edit-distance centrality for small groups, text.py:225-244), applied
+per group via groupby().apply (normalizer.py:534-553); canonical-map
+application is a left join + self-coalesce (refiner.py:245-269, J11);
+chain numbering appends " - N" per duplicate name (refiner.py:647-673,
+W2).
+
+Spark shape: tiny clusters (the overwhelming majority) are resolved by
+a pure-SQL window (max frequency, then longest, then lexicographic —
+deterministic total order, reference O14); clusters with more than one
+distinct text get the full centrality scoring inside
+groupBy().applyInPandas with a capped member sample (SURVEY §7.4 risk
+4 — bounds the O(u^2) NumPy kernel exactly like the reference's
+merge_sample_size, config/schema.py:1392-1397).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+MAX_GROUP_SAMPLE = 128
+
+
+def _lev_matrix(strings: list[str]) -> np.ndarray:
+    """Pairwise Levenshtein distances (NumPy DP, vectorized over one
+    axis). Inputs are capped, small groups only."""
+    n = len(strings)
+    out = np.zeros((n, n), dtype=np.float64)
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = strings[i], strings[j]
+            if len(a) < len(b):
+                a, b = b, a
+            prev = np.arange(len(b) + 1)
+            for ci, ca in enumerate(a, start=1):
+                cur = np.empty(len(b) + 1)
+                cur[0] = ci
+                bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+                aa = np.uint32(ord(ca))
+                cost = (bb != aa).astype(np.int64)
+                for cj in range(1, len(b) + 1):
+                    cur[cj] = min(prev[cj] + 1, cur[cj - 1] + 1, prev[cj - 1] + cost[cj - 1])
+                prev = cur
+            out[i, j] = out[j, i] = prev[-1]
+    return out
+
+
+def _canonical_one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Reference K7 scoring: score = (centrality + frequency) * length_bonus;
+    centrality from the exp(-lev/max_len) similarity matrix weighted by
+    frequency (text.py:225-294); winner = argmax with deterministic
+    (score desc, text asc) tie-break."""
+    cluster = pdf["cluster"].iloc[0]
+    counts = pdf.groupby("norm_text")["norm_text"].count().sort_index()
+    uniques = list(counts.index)
+    freqs = counts.to_numpy(dtype=np.float64)
+    if len(uniques) > MAX_GROUP_SAMPLE:
+        top = np.argsort(-freqs, kind="stable")[:MAX_GROUP_SAMPLE]
+        uniques = [uniques[i] for i in sorted(top)]
+        freqs = counts.iloc[sorted(top)].to_numpy(dtype=np.float64)
+    if len(uniques) == 1:
+        return pd.DataFrame({"cluster": [cluster], "canonical_text": [uniques[0]]})
+    capped = [u[:128] for u in uniques]
+    dist = _lev_matrix(capped)
+    max_len = max(1, max(len(u) for u in capped))
+    sim = np.exp(-dist / max_len)
+    w = freqs / freqs.sum()
+    centrality = sim @ w
+    freq_term = freqs / freqs.max()
+    length_bonus = np.minimum(np.log(np.array([len(u) for u in uniques]) + 1.0), 3.5)
+    score = (centrality + freq_term) * length_bonus
+    order = sorted(range(len(uniques)), key=lambda i: (-score[i], uniques[i]))
+    return pd.DataFrame({"cluster": [cluster], "canonical_text": [uniques[order[0]]]})
+
+
+def canonical_by_frequency(records: DataFrame, cluster_col: str = "cluster") -> DataFrame:
+    """Pure-SQL canonical pick: most frequent norm_text per cluster,
+    ties to longest then lexicographically smallest (deterministic)."""
+    freq = records.groupBy(cluster_col, "norm_text").agg(F.count("*").alias("freq"))
+    w = W.partitionBy(cluster_col).orderBy(
+        F.col("freq").desc(), F.length("norm_text").desc(), F.col("norm_text").asc()
+    )
+    return (
+        freq.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(cluster_col, F.col("norm_text").alias("canonical_text"))
+    )
+
+
+def canonical_by_centrality(records: DataFrame, cluster_col: str = "cluster") -> DataFrame:
+    """Full reference-parity canonical selection. Single-text clusters
+    short-circuit in SQL; only genuinely ambiguous clusters reach the
+    Arrow grouped-map kernel."""
+    per_cluster = records.groupBy(cluster_col).agg(
+        F.countDistinct("norm_text").alias("n_texts")
+    )
+    easy_ids = per_cluster.where(F.col("n_texts") == 1).select(cluster_col)
+    hard_ids = per_cluster.where(F.col("n_texts") > 1).select(cluster_col)
+
+    easy = canonical_by_frequency(records.join(easy_ids, cluster_col), cluster_col)
+    hard_src = records.join(hard_ids, cluster_col).select(
+        F.col(cluster_col).alias("cluster"), "norm_text"
+    )
+    hard = hard_src.groupBy("cluster").applyInPandas(
+        _canonical_one_group, schema="cluster string, canonical_text string"
+    ).withColumnRenamed("cluster", cluster_col)
+    return easy.unionByName(hard)
+
+
+def apply_canonical_map(
+    records: DataFrame, canon: DataFrame, cluster_col: str = "cluster"
+) -> DataFrame:
+    """J11: left join the canonical map, self-coalesce for safety."""
+    return records.join(canon, cluster_col, "left").withColumn(
+        "canonical_text", F.coalesce(F.col("canonical_text"), F.col("norm_text"))
+    )
+
+
+def chain_numbering(
+    df: DataFrame, name_col: str, order_col: str, out_col: str = "numbered_name"
+) -> DataFrame:
+    """W2: suffix ' - N' for repeated names, numbered in a deterministic
+    order (reference refiner.py:647-673)."""
+    w = W.partitionBy(name_col).orderBy(F.col(order_col).asc())
+    cnt = W.partitionBy(name_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(cnt))
+        .withColumn(
+            out_col,
+            F.when(F.col("__n") == 1, F.col(name_col)).otherwise(
+                F.concat_ws(" - ", F.col(name_col), F.col("__rn").cast("string"))
+            ),
+        )
+        .drop("__rn", "__n")
+    )

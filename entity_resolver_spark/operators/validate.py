@@ -1,0 +1,120 @@
+"""Cluster validation: invariant gates + consolidation (SURVEY Q1/Q2,
+G11, G14 analog).
+
+Reference gates: no identical composite entity in two clusters
+(/root/reference/entity_resolver/utils/validation.py:18-90, invoked
+resolver.py:452,462) and canonical-name -> canonical-metadata
+functional dependency (utils/validation.py:124-161, resolver.py:475).
+Identical-entity consolidation is merger.py:435-1008 (G11) — winner by
+(size, min id), transitive flattening; here components subsume the
+reference's pointer-jumping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entity_resolver_spark.operators.components import connected_components
+
+
+def q1_violations(records: DataFrame, key_col: str = "norm_text", cluster_col: str = "cluster") -> DataFrame:
+    """Entities whose identical composite key lands in >1 cluster
+    (must be empty after consolidation — Q1 gate)."""
+    return (
+        records.groupBy(key_col)
+        .agg(F.countDistinct(cluster_col).alias("n_clusters"))
+        .where(F.col("n_clusters") > 1)
+    )
+
+
+def consolidate_identical(records: DataFrame, key_col: str = "norm_text", cluster_col: str = "cluster") -> DataFrame:
+    """G11: clusters sharing an identical key are merged — build
+    cluster-cluster edges through shared keys, run components on the
+    (small) cluster graph, relabel with the min cluster id.
+
+    The cluster graph is orders of magnitude smaller than the record
+    table, so the iterative step runs on a tiny DataFrame regardless of
+    input scale."""
+    key_clusters = records.select(key_col, cluster_col).distinct()
+    a = key_clusters.select(F.col(key_col).alias("k"), F.col(cluster_col).alias("src"))
+    b = key_clusters.select(F.col(key_col).alias("k"), F.col(cluster_col).alias("dst"))
+    edges = a.join(b, "k").where(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    if edges.isEmpty():
+        return records
+    labels = connected_components(edges)
+    remap = labels.withColumnRenamed("node", cluster_col).withColumnRenamed(
+        "component", "__new_cluster"
+    )
+    return (
+        records.join(remap, cluster_col, "left")
+        .withColumn(cluster_col, F.coalesce(F.col("__new_cluster"), F.col(cluster_col)))
+        .drop("__new_cluster")
+    )
+
+
+def q2_violations(records: DataFrame, name_col: str = "canonical_text", meta_col: str = "cluster") -> DataFrame:
+    """Q2: canonical text must map to exactly one cluster id
+    (functional dependency, utils/validation.py:124-161)."""
+    return (
+        records.groupBy(name_col)
+        .agg(F.countDistinct(F.coalesce(F.col(meta_col), F.lit("∅"))).alias("n_meta"))
+        .where(F.col("n_meta") > 1)
+    )
+
+
+def split_on_metadata(
+    records: DataFrame,
+    cluster_col: str = "cluster",
+    tool_conflict: bool = False,
+    max_ts_gap_days: int | None = None,
+) -> DataFrame:
+    """G14 analog: split clusters whose members have irreconcilable
+    transcript metadata (the reference splits on multi-state clusters
+    and wide street-number ranges, refiner.py:423-589; transcripts use
+    tool-set disjointness and wide time ranges instead).
+
+    New cluster ids are minted deterministically as
+    '<cluster>#<subkey>' (reference A14 ngroup analog)."""
+    out = records
+    if max_ts_gap_days is not None:
+        bounds = out.groupBy(cluster_col).agg(F.min("ts_min").alias("__c_min"))
+        out = (
+            out.join(bounds, cluster_col)
+            .withColumn(
+                "__gap_bucket",
+                (F.datediff(F.col("ts_min"), F.col("__c_min")) / F.lit(max_ts_gap_days))
+                .cast("int"),
+            )
+            .withColumn(
+                cluster_col,
+                F.when(F.col("__gap_bucket") > 0,
+                       F.concat_ws("#", F.col(cluster_col), F.col("__gap_bucket").cast("string")))
+                .otherwise(F.col(cluster_col)),
+            )
+            .drop("__c_min", "__gap_bucket")
+        )
+    if tool_conflict:
+        # members whose tool sets are disjoint from the cluster's modal
+        # tool set get a split bucket
+        modal = (
+            out.select(cluster_col, F.explode_outer("tools").alias("t"))
+            .groupBy(cluster_col, "t")
+            .count()
+            .groupBy(cluster_col)
+            .agg(F.max_by("t", "count").alias("__modal_tool"))
+        )
+        out = (
+            out.join(modal, cluster_col, "left")
+            .withColumn(
+                cluster_col,
+                F.when(
+                    F.col("__modal_tool").isNotNull()
+                    & (F.size("tools") > 0)
+                    & (~F.array_contains("tools", F.col("__modal_tool"))),
+                    F.concat_ws("#", F.col(cluster_col), F.lit("t")),
+                ).otherwise(F.col(cluster_col)),
+            )
+            .drop("__modal_tool")
+        )
+    return out

@@ -1,0 +1,82 @@
+"""Hashed TF-IDF vectorization (SURVEY V1/V8, BASELINE-mandated
+replacement for the reference's GPU dense-vectorization stack V4-V7).
+
+The reference fits cuML TfidfVectorizer + truncated SVD
+(/root/reference/entity_resolver/context_vectorizer.py:311-348,
+components.py:60-741). Per SURVEY §7 both are replaced by fixed-
+dimension feature hashing with IDF weighting and L2 normalization —
+no global factorization, no vocabulary broadcast beyond the small IDF
+table, everything JVM-side:
+
+    explode(tokens) -> join IDF table -> slot = pmod(xxhash64(token),D)
+    -> sum weights per (record, slot) -> collect sorted sparse vector
+    -> L2-normalize with SQL aggregate/transform.
+
+Sparse vectors are carried as two row-aligned arrays (vec_idx sorted
+asc, vec_val) — the DataFrame-native answer to the reference's
+side-car CSR matrices (vectorizer.py:96-99); alignment is free because
+they live in the same row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def idf_table(records: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """(token, df, idf) with smooth idf = ln((N+1)/(df+1)) + 1."""
+    n = records.count()
+    exploded = records.select(F.explode(tokens_col).alias("token"))
+    return (
+        exploded.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .withColumn("idf", F.log((F.lit(float(n + 1))) / (F.col("df") + 1.0)) + 1.0)
+    )
+
+
+def hashed_tfidf(
+    records: DataFrame,
+    idf: DataFrame,
+    id_col: str = "conv_id",
+    tokens_col: str = "tokens",
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """-> (id_col, vec_idx array<bigint> sorted, vec_val array<double>),
+    L2-normalized. Token sets (binary TF) x IDF weights, feature-hashed
+    into `num_features` slots."""
+    exploded = records.select(id_col, F.explode(tokens_col).alias("token"))
+    weighted = exploded.join(idf.select("token", "idf"), "token").withColumn(
+        "slot", F.pmod(F.xxhash64("token"), F.lit(num_features))
+    )
+    by_slot = weighted.groupBy(id_col, "slot").agg(F.sum("idf").alias("w"))
+    vec = (
+        by_slot.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("slot", "w"))).alias("sv"))
+        .withColumn(
+            "norm",
+            F.sqrt(
+                F.aggregate(
+                    F.col("sv"), F.lit(0.0), lambda acc, e: acc + e["w"] * e["w"]
+                )
+            ),
+        )
+        .select(
+            id_col,
+            F.transform(F.col("sv"), lambda e: e["slot"]).alias("vec_idx"),
+            F.transform(F.col("sv"), lambda e: e["w"] / F.col("norm")).alias("vec_val"),
+        )
+    )
+    return vec
+
+
+def add_tfidf_vectors(
+    records: DataFrame,
+    id_col: str = "conv_id",
+    tokens_col: str = "tokens",
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """Join hashed TF-IDF sparse vectors back onto the record table."""
+    idf = idf_table(records, tokens_col)
+    vec = hashed_tfidf(records, idf, id_col, tokens_col, num_features)
+    return records.join(vec, id_col, "left")

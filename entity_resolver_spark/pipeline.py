@@ -1,0 +1,146 @@
+"""End-to-end entity-resolution pipeline (SURVEY §3.1 / §7.1).
+
+The reference's fixed 7-step DAG (/root/reference/entity_resolver/
+resolver.py:396-484) re-expressed as DataFrame->DataFrame stages:
+
+    collapse -> normalize -> vectorize -> block -> pair-score ->
+    components -> consolidate (Q1) -> canonical -> confidence
+
+Every stage goes through the CheckpointManager (resume + per-stage
+lineage/metrics); iterative components checkpoint internally per
+round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entity_resolver_spark.checkpoint import CheckpointManager
+from entity_resolver_spark.config import ResolverConfig
+from entity_resolver_spark.operators.blocking import candidate_pairs
+from entity_resolver_spark.operators.canonical import (
+    apply_canonical_map,
+    canonical_by_centrality,
+)
+from entity_resolver_spark.operators.collapse import collapse_turns
+from entity_resolver_spark.operators.components import attach_labels, connected_components
+from entity_resolver_spark.operators.confidence import cluster_edge_stats, score_confidence
+from entity_resolver_spark.operators.normalize import normalize_docs
+from entity_resolver_spark.operators.pairs import edges_from_scores, score_pairs
+from entity_resolver_spark.operators.validate import (
+    consolidate_identical,
+    q1_violations,
+    split_on_metadata,
+)
+from entity_resolver_spark.operators.vectorize import add_tfidf_vectors
+
+
+class EntityResolverPipeline:
+    """fit/transform-shaped API like the reference resolver
+    (resolver.py:200-326), minus the fitted-model state: every stage is
+    recomputable from checkpoints, which is what resumability means
+    here."""
+
+    def __init__(self, config: ResolverConfig | None = None) -> None:
+        self.config = config or ResolverConfig()
+        self.metrics: list[dict] = []
+
+    # ------------------------------------------------------------------
+    def resolve(self, spark: SparkSession, turns: DataFrame) -> DataFrame:
+        """turns(conv_id, turn_idx, role, text, tool, ts) -> resolved
+        entity records with cluster, canonical_text, confidence."""
+        cfg = self.config
+        fp = CheckpointManager.fingerprint(cfg.model_dump_json(), str(turns.schema))
+        ckpt = CheckpointManager(
+            spark, cfg.output.checkpoint_dir, run_fingerprint=fp, resume=cfg.output.resume
+        )
+
+        collapsed = ckpt.stage("collapse", lambda: collapse_turns(turns))
+
+        normalized = ckpt.stage(
+            "normalize",
+            lambda: normalize_docs(
+                collapsed.drop("turns"),  # integrity carrier not needed downstream
+                text_col="doc",
+                min_length=cfg.normalization.min_length,
+                empty_fallback=cfg.normalization.empty_fallback,
+            ),
+        )
+
+        vectorized = ckpt.stage(
+            "vectorize",
+            lambda: add_tfidf_vectors(
+                normalized,
+                tokens_col="match_tokens",  # order-sensitive unigram+bigram set
+                num_features=cfg.scoring.tfidf_num_features,
+            ),
+        )
+
+        def _pairs() -> DataFrame:
+            pairs, block_metrics = candidate_pairs(vectorized, cfg.blocking)
+            self._block_metrics = {
+                r["status"]: r["n"]
+                for r in block_metrics.groupBy("status").agg(F.count("*").alias("n")).collect()
+            }
+            return pairs
+
+        pairs = ckpt.stage("pairs", _pairs)
+
+        scored = ckpt.stage(
+            "pair_scores", lambda: score_pairs(vectorized, pairs, cfg.scoring)
+        )
+
+        edges = ckpt.stage(
+            "edges",
+            lambda: edges_from_scores(scored, cfg.scoring.edge_threshold),
+            extra_metrics=lambda df: {"match_edges": df.count()},
+        )
+
+        labels = ckpt.stage(
+            "components",
+            lambda: connected_components(
+                edges,
+                max_iterations=cfg.clustering.max_iterations,
+                checkpoint_every=cfg.clustering.checkpoint_every,
+            ),
+        )
+
+        def _clustered() -> DataFrame:
+            out = attach_labels(vectorized, labels)
+            out = split_on_metadata(
+                out,
+                tool_conflict=cfg.validation.split_on_tool_conflict,
+                max_ts_gap_days=cfg.validation.max_ts_gap_days,
+            )
+            if cfg.validation.enforce_unique_entity:
+                out = consolidate_identical(out)
+            return out
+
+        clustered = ckpt.stage("clustered", _clustered)
+
+        canon = ckpt.stage(
+            "canonical", lambda: canonical_by_centrality(clustered)
+        )
+
+        def _final() -> DataFrame:
+            with_canon = apply_canonical_map(clustered, canon)
+            stats = cluster_edge_stats(edges, labels)
+            out = score_confidence(with_canon, stats, cfg.confidence)
+            return out.select(
+                "conv_id", "cluster", "norm_text", "canonical_text", "n_turns",
+                "roles", "tools", "ts_min", "ts_max", "cluster_size",
+                "confidence_score", "confidence_category", "needs_review",
+                "review_reason",
+            )
+
+        resolved = ckpt.stage("resolved", _final)
+
+        # Q1 gate (hard assert, reference resolver.py:452)
+        if cfg.validation.enforce_unique_entity:
+            n_bad = q1_violations(resolved).count()
+            if n_bad:
+                raise AssertionError(f"Q1 violated: {n_bad} keys in multiple clusters")
+
+        self.metrics = ckpt.metrics
+        return resolved
