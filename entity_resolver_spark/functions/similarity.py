@@ -45,11 +45,11 @@ def lev_sim_expr(a: Column, b: Column, prefix_chars: int = 256) -> Column:
 
 def jaro_winkler_py(s1: str, s2: str) -> float:
     """Standard Jaro-Winkler (prefix weight 0.1, boost threshold 0.7)."""
-    if s1 == s2:
-        return 1.0
     len1, len2 = len(s1), len(s2)
     if len1 == 0 or len2 == 0:
-        return 0.0
+        return 0.0  # DuckDB convention: empty vs anything (incl. empty) -> 0
+    if s1 == s2:
+        return 1.0
     match_window = max(len1, len2) // 2 - 1
     if match_window < 0:
         match_window = 0
