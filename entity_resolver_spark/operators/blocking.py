@@ -42,15 +42,16 @@ def det_key(tokens_col, k: int) -> "F.Column":
     return F.concat_ws("|", F.transform(F.slice(hashed, 1, k), lambda h: h.cast("string")))
 
 
+def _min_hash_i(tokens_col, i: int) -> "F.Column":
+    # factory closure: a default-arg lambda (lambda t, i=i) would raise
+    # its arity to 2 and PySpark would bind the array INDEX to i
+    return F.array_min(F.transform(tokens_col, lambda t: F.xxhash64(F.lit(i), t)))
+
+
 def minhash_signature(tokens_col, n_hashes: int) -> "F.Column":
     """MinHash signature as array<bigint>: sig[i] = min over tokens of
     xxhash64(i, token). Pure column expression — zero shuffle."""
-    return F.array(
-        *[
-            F.array_min(F.transform(tokens_col, lambda t, i=i: F.xxhash64(F.lit(i), t)))
-            for i in range(n_hashes)
-        ]
-    )
+    return F.array(*[_min_hash_i(tokens_col, i) for i in range(n_hashes)])
 
 
 def band_keys(sig_col, n_hashes: int, n_bands: int) -> "F.Column":

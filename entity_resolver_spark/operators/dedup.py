@@ -1,0 +1,270 @@
+"""Document deduplication operators for large-scale training-data
+pipelines (brief §"training-data pipeline" — first-class alongside the
+record-linkage core, sharing its blocking/MinHash machinery).
+
+All operate on a documents table (doc_id, text). Five strategies:
+
+  * exact_dedup        — hash-groupBy, survivor = min doc_id (window,
+                         deterministic like the reference's O14 rule);
+  * minhash_lsh_pairs  — shingle -> MinHash -> band -> bucket join;
+  * simhash_pairs      — 64-bit SimHash, near-dup if hamming <= k,
+                         banded into 4 chunks (pigeonhole: <=3 bit
+                         flips leave one 16-bit chunk intact);
+  * ngram_jaccard_pairs— token/char n-gram Jaccard via explode+join
+                         (pure SQL, DuckDB-oracle-checkable);
+  * embedding_pairs    — cosine near-dup over an embedding column
+                         (see ann.py for the search variant).
+
+Scale notes: every strategy is shuffle-bounded by its key (hash,
+band, chunk, n-gram) with the same stop-key protection as blocking.py;
+nothing is quadratic in the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from entity_resolver_spark.operators.blocking import band_keys, minhash_signature
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One survivor per distinct text: min id wins (deterministic window,
+    never dropDuplicates — SURVEY O14)."""
+    w = W.partitionBy(text_col).orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, n_dups, survivor_id) for groups with >1 member."""
+    return (
+        docs.groupBy(F.xxhash64(text_col).alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("survivor_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# token shingles
+# ---------------------------------------------------------------------------
+
+def _shingles(text_col, n: int = 3):
+    """Word n-gram shingle array (distinct) from raw text, JVM-side."""
+    words = F.split(F.lower(F.regexp_replace(text_col, r"[^a-zA-Z0-9 ]", " ")), r"\s+")
+    words = F.filter(words, lambda t: F.length(t) > 0)
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    jaccard_floor: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via shingle->minhash->band->join,
+    verified with exact shingle-set Jaccard (estimated-then-verified,
+    so no false positives from banding)."""
+    sh = docs.select(F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_n).alias("sh"))
+    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    banded = sig.select(
+        "id", "sh", F.explode(band_keys(F.col("sig"), n_hashes, n_bands)).alias("bk")
+    )
+    a = banded.select(F.col("bk"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = banded.select(F.col("bk"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    cand = (
+        a.join(b, "bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .where(F.col("jaccard") >= jaccard_floor)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    jaccard_floor: float = 0.5,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via explode + equi-join on shingles
+    (SQL-only — this is the DuckDB-checkable variant). Shingles shared
+    by more than max_shingle_df docs are dropped (stop-key rule)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), shingle_n)).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    hot = sh.groupBy("s").agg(F.count("*").alias("df")).where(F.col("df") > max_shingle_df)
+    sh = sh.join(hot, "s", "left_anti")
+    a = sh.select(F.col("s"), F.col("id").alias("id_a"))
+    b = sh.select(F.col("s"), F.col("id").alias("id_b"))
+    inter = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= jaccard_floor)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(tokens_col) -> "F.Column":
+    """64-bit SimHash of a token array, pure column expressions:
+    for each bit b, sum(sign of bit b over token hashes) >= 0 -> bit set.
+    Implemented as 64 aggregates over the token array (codegen'd)."""
+    # majority vote per bit: count tokens with bit set vs total
+    n = F.size(tokens_col)
+
+    def bit_votes(b: int):
+        # factory closure (NOT a default-arg lambda: that changes the
+        # PySpark lambda arity and binds the accumulator slot to b)
+        return F.aggregate(
+            tokens_col,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)).cast("int"),
+        )
+
+    bits = [(bit_votes(b) * 2 >= n).cast("long") for b in range(64)]
+    out = F.lit(0).cast("long")
+    for b, bit in enumerate(bits):
+        out = out.bitwiseOR(F.shiftleft(bit, b))
+    return out
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming. Candidate
+    generation by 16-bit chunk equality (pigeonhole over 4 chunks
+    guarantees recall for <=3 flips); verification via bit_count."""
+    words = F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9 ]", " ")), r"\s+")
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        simhash64(F.filter(words, lambda t: F.length(t) > 0)).alias("sim"),
+    )
+    chunks = sh.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(c)),
+                        F.shiftright(F.col("sim"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .cast("string"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk"),
+    )
+    a = chunks.select("chunk", F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
+    b = chunks.select("chunk", F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
+    return (
+        a.join(b, "chunk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_floor: float = 0.95,
+    n_hashes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Candidates via random-hyperplane
+    LSH (sign sketch from seeded per-dimension weights — deterministic),
+    verified with exact cosine (dense_cosine_expr, JVM-side)."""
+    from entity_resolver_spark.functions.similarity import dense_cosine_expr
+
+    # sign-sketch: bit i = (sum_d v[d] * w_i[d] >= 0), w from xxhash64(i,d)
+    def _proj(vec, i: int):
+        # factory closure for the same arity reason as bit_votes above
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda v, d: v
+                * (
+                    (F.pmod(F.xxhash64(F.lit(i), d), F.lit(2000)) - 1000).cast("double")
+                    / 1000.0
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def sketch(vec):
+        bits = [
+            (_proj(vec, i) >= 0).cast("int").cast("string") for i in range(n_hashes)
+        ]
+        return F.concat_ws("", *bits)
+
+    sk = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "bucket", sketch(F.col("v"))
+    )
+    a = sk.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = sk.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dense_cosine_expr(F.col("v_a"), F.col("v_b")))
+        .where(F.col("cosine") >= cosine_floor)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,137 @@
+"""Text-analysis operators for training-data curation (brief:
+language-ID, quality scoring, token counting, fingerprinting) — all
+pure column expressions (whole-stage codegen, no Python).
+
+These run over a documents table (doc_id, text) and are deliberately
+SQL-expressible so DuckDB oracles can cross-check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+_LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "you"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "ich", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"],
+    "es": ["el", "la", "los", "que", "es", "no", "por", "con", "una", "para"],
+}
+
+
+def words_expr(text: Column) -> Column:
+    w = F.split(F.lower(F.regexp_replace(text, r"[^a-zA-Z0-9' ]", " ")), r"\s+")
+    return F.filter(w, lambda t: F.length(t) > 0)
+
+
+def token_count_expr(text: Column) -> Column:
+    """Whitespace token count (cheap proxy for LLM token budgeting)."""
+    return F.size(words_expr(text))
+
+
+def bpe_ish_token_count_expr(text: Column) -> Column:
+    """BPE-ish token estimate: word-piece count where each word
+    contributes ceil(len/4) pieces plus standalone punctuation/digit
+    runs — a deterministic, SQL-only approximation of subword counts."""
+    words = words_expr(text)
+    word_pieces = F.aggregate(
+        words, F.lit(0), lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("int")
+    )
+    punct_runs = F.size(
+        F.filter(F.split(text, r"[a-zA-Z0-9\s]+"), lambda t: F.length(t) > 0)
+    )
+    return word_pieces + punct_runs
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Document quality in [0,1] from length / punctuation ratio /
+    stopword ratio / mean word length (the classic pre-train filters).
+    Weights: length .3, punct .2, stopword .3, word-shape .2."""
+    n_chars = F.length(text)
+    words = words_expr(text)
+    n_words = F.size(words)
+    # length factor: saturates at 200 words
+    len_f = F.least(n_words.cast("double") / 200.0, F.lit(1.0))
+    # punctuation ratio: penalize > 20%
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(1.0)
+    punct_f = F.greatest(F.lit(0.0), 1.0 - punct_ratio * 5.0)
+    # english stopword ratio: healthy prose ~ 0.2-0.6
+    sw = F.array([F.lit(s) for s in _LANG_STOPWORDS["en"]])
+    n_sw = F.size(F.filter(words, lambda t: F.array_contains(sw, t)))
+    sw_ratio = F.when(n_words > 0, n_sw.cast("double") / n_words).otherwise(0.0)
+    sw_f = F.least(sw_ratio * 4.0, F.lit(1.0))
+    # mean word length factor: 3..10 chars is normal
+    mean_wl = F.when(n_words > 0,
+                     F.aggregate(words, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n_words
+                     ).otherwise(0.0)
+    wl_f = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), 1.0).otherwise(0.3)
+    return 0.3 * len_f + 0.2 * punct_f + 0.3 * sw_f + 0.2 * wl_f
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Stopword-vote language ID over {en,de,fr,es}, 'und' (undetermined)
+    when no list scores >= 2 hits. Deterministic tie-break by language
+    code order en<de<fr<es via score desc, code asc."""
+    words = words_expr(text)
+
+    def _hits(sws: list[str]):
+        # factory closure: a default-arg lambda changes PySpark lambda
+        # arity and binds the array index instead of the stopword list
+        arr = F.array([F.lit(s) for s in sws])
+        return F.size(F.filter(words, lambda t: F.array_contains(arr, t)))
+
+    scores = []
+    for code, sws in _LANG_STOPWORDS.items():
+        scores.append(
+            F.struct(
+                _hits(sws).alias("hits"),
+                F.lit({"en": 0, "de": 1, "fr": 2, "es": 3}[code]).alias("ord"),
+                F.lit(code).alias("code"),
+            )
+        )
+    # max by (hits desc, ord asc): flip ord sign inside a sortable struct
+    best = F.array_max(
+        F.transform(
+            F.array(*scores),
+            lambda s: F.struct(
+                s["hits"].alias("hits"), (-s["ord"]).alias("nord"), s["code"].alias("code")
+            ),
+        )
+    )
+    return F.when(best["hits"] >= 2, best["code"]).otherwise(F.lit("und"))
+
+
+def fingerprint_expr(text: Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min xxhash64 over each
+    sliding window of word 3-grams, collected as a sorted distinct
+    array — robust to small edits, SQL-only."""
+    words = words_expr(text)
+    grams = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 3),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2),
+                            F.element_at(words, i + 3))
+            ),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", words))))
+    mins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(grams) - window, F.lit(0))),
+        lambda i: F.array_min(F.slice(grams, i + 1, window)),
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
+def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach all text-analysis columns at once."""
+    t = F.col(text_col)
+    return (
+        docs.withColumn("n_tokens", token_count_expr(t))
+        .withColumn("n_tokens_bpe", bpe_ish_token_count_expr(t))
+        .withColumn("quality", quality_score_expr(t))
+        .withColumn("lang_pred", lang_id_expr(t))
+        .withColumn("fingerprint", fingerprint_expr(t))
+    )
