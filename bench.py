@@ -37,9 +37,11 @@ def main() -> None:
     def run(name: str, fn) -> None:
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = df.count()  # force full materialization
+        # noop sink forces EVERY column (count() would let Catalyst prune
+        # the expensive ones right out of the plan)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        print(f"# {name}: done in {timings[name]}s", file=sys.stderr)
 
     # flagship: full pipeline; also record input turn count for turns/sec
     from entity_resolver_spark.sources.transcripts import (

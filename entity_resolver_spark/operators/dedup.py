@@ -58,19 +58,21 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 # ---------------------------------------------------------------------------
 
 def _shingles(text_col, n: int = 3):
-    """Word n-gram shingle array (distinct) from raw text, JVM-side."""
+    """Word n-gram shingle array (distinct) from raw text, JVM-side.
+
+    Built by folding zip_with over shifted slices (O(n) per row);
+    element_at-by-index would re-evaluate the split per element."""
     words = F.split(F.lower(F.regexp_replace(text_col, r"[^a-zA-Z0-9 ]", " ")), r"\s+")
     words = F.filter(words, lambda t: F.length(t) > 0)
+    grams = words
+    for j in range(1, n):
+        shifted = F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(1)))
+        grams = F.filter(
+            F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)),
+            lambda x: x.isNotNull(),
+        )
     return F.array_distinct(
-        F.when(
-            F.size(words) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(words) - n),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(words, i + j + 1) for j in range(n)]
-                ),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", words)))
+        F.when(F.size(words) >= n, grams).otherwise(F.array(F.concat_ws(" ", words)))
     )
 
 

@@ -65,6 +65,29 @@ def nfkc_fold_udf(s: pd.Series) -> pd.Series:  # pragma: no cover (runs on execu
     return nfkc_fold_series(s)
 
 
+def _make_norm_udf(min_length: int, empty_fallback: str):
+    """One-pass NFKC + full normalization as a single Arrow UDF.
+
+    Why one pass: with norm_text built from a JVM expression tree,
+    Catalyst's CollapseProject inlines that tree into every downstream
+    reference (tokens, match_tokens, ...), re-running the whole regex
+    chain per reference (~8x measured). A UDF output is a materialized
+    attribute in the plan, so downstream expressions reference it for
+    free. The Python pass is normalize_py itself — one vectorized
+    Arrow batch, same cost class as the NFKC hop the reference pays
+    (utils/text.py:629-645)."""
+
+    @F.pandas_udf(T.StringType())
+    def norm_udf(s: pd.Series) -> pd.Series:  # pragma: no cover
+        return s.map(
+            lambda x: normalize_py(x, min_length=min_length, empty_fallback=empty_fallback)
+            if x is not None
+            else None
+        )
+
+    return norm_udf
+
+
 # ---------------------------------------------------------------------------
 # JVM-side normalization expression
 # ---------------------------------------------------------------------------
@@ -116,13 +139,16 @@ def match_tokens_expr(norm_col: Column) -> Column:
     (context_vectorizer.py:311-348, analyzer='char'), computed as a
     pure column expression."""
     words = F.filter(F.split(norm_col, " "), lambda t: F.length(t) >= 1)
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 2),
-            lambda i: F.concat_ws("_", F.element_at(words, i + 1), F.element_at(words, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # zip_with(words, words[2:]) builds bigrams in one O(n) pass —
+    # indexing via element_at(words, i) would re-evaluate the split per
+    # element (O(n^2) per row, measured 10x slower on real documents).
+    # The zip pads the shorter side with null; concat() nulls those
+    # rows out and the filter drops them.
+    shifted = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(1)))
+    bigrams = F.filter(
+        F.zip_with(words, shifted, lambda a, b: F.concat(a, F.lit("_"), b)),
+        lambda x: x.isNotNull(),
+    )
     return F.array_distinct(F.concat(words, bigrams))
 
 
@@ -142,28 +168,27 @@ def normalize_docs(
     corpus has heavy exact duplication (>50% per clusterer.py:1432-1441).
     """
     if nfkc:
+        # single Arrow pass: NFKC fold + full normalization -> norm_text
+        # is a materialized attribute (see _make_norm_udf for why)
+        norm_udf = _make_norm_udf(min_length, empty_fallback)
         if distinct_first:
             uniq = (
                 df.select(F.col(text_col).alias("__raw"))
                 .distinct()
-                .withColumn("__folded", nfkc_fold_udf(F.col("__raw")))
+                .withColumn(out_col, norm_udf(F.col("__raw")))
             )
-            df = df.join(uniq, df[text_col] == uniq["__raw"], "left").drop("__raw")
-            folded = F.col("__folded")
+            out = df.join(uniq, df[text_col] == uniq["__raw"], "left").drop("__raw")
         else:
-            df = df.withColumn("__folded", nfkc_fold_udf(F.col(text_col)))
-            folded = F.col("__folded")
+            out = df.withColumn(out_col, norm_udf(F.col(text_col)))
     else:
-        folded = F.col(text_col)
-
-    out = (
-        df.withColumn(
-            out_col, norm_expr(folded, min_length=min_length, empty_fallback=empty_fallback)
+        out = df.withColumn(
+            out_col,
+            norm_expr(F.col(text_col), min_length=min_length, empty_fallback=empty_fallback),
         )
-        .withColumn("tokens", tokens_expr(F.col(out_col)))
-        .withColumn("match_tokens", match_tokens_expr(F.col(out_col)))
+
+    return out.withColumn("tokens", tokens_expr(F.col(out_col))).withColumn(
+        "match_tokens", match_tokens_expr(F.col(out_col))
     )
-    return out.drop("__folded")
 
 
 # pure-python reference implementation (used by tests & the DuckDB oracle

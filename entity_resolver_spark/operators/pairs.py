@@ -27,37 +27,65 @@ from entity_resolver_spark.functions.similarity import (
 # pairs below this cheap-cosine floor never reach the Python kernels
 PREFILTER_FLOOR = 0.15
 
-ATTR_COLS = ["conv_id", "norm_text", "tokens", "vec_idx", "vec_val"]
-
 
 def score_pairs(
     records: DataFrame, pairs: DataFrame, cfg: ScoringConfig
 ) -> DataFrame:
     """pairs(conv_a, conv_b) -> scored pairs with individual kernel
-    columns and the weighted `score` (all in [0,1])."""
-    attrs = records.select(*ATTR_COLS)
-    a = attrs.select([F.col(c).alias(f"{c}_a") for c in ATTR_COLS])
-    b = attrs.select([F.col(c).alias(f"{c}_b") for c in ATTR_COLS])
+    columns and the weighted `score` (all in [0,1]).
 
-    joined = (
-        pairs.join(a, pairs["conv_a"] == a["conv_id_a"])
-        .join(b, pairs["conv_b"] == b["conv_id_b"])
-        .drop("conv_id_a", "conv_id_b")
+    Two-phase join for shuffle volume: phase 1 attaches only the LIGHT
+    attributes (length-capped text + unigram token set), runs the JVM
+    prefilter and the string kernels; phase 2 attaches the heavy hashed
+    TF-IDF arrays ONLY for surviving pairs. At 100TB the candidate set
+    is orders of magnitude larger than the survivor set, so the heavy
+    arrays never ride the big shuffle."""
+    cap = max(cfg.lev_prefix_chars, cfg.jw_prefix_chars)
+    light = records.select(
+        "conv_id",
+        F.substring("norm_text", 1, cap).alias("txt"),
+        "tokens",
+    )
+    la = light.select(
+        F.col("conv_id").alias("conv_a"), F.col("txt").alias("txt_a"), F.col("tokens").alias("tokens_a")
+    )
+    lb = light.select(
+        F.col("conv_id").alias("conv_b"), F.col("txt").alias("txt_b"), F.col("tokens").alias("tokens_b")
     )
 
-    pre = joined.withColumn(
-        "cos_tokens", token_overlap_cosine_expr(F.col("tokens_a"), F.col("tokens_b"))
-    ).where(F.col("cos_tokens") >= PREFILTER_FLOOR)
-
-    scored = (
-        pre.withColumn(
-            "lev_sim",
-            lev_sim_expr(F.col("norm_text_a"), F.col("norm_text_b"), cfg.lev_prefix_chars),
-        )
+    # candidate pairs are few bytes each, so AQE coalesces them into a
+    # handful of partitions — which would serialize the Arrow UDF work.
+    # Spread them across the full parallelism before the kernels run.
+    n_parts = int(
+        records.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    phase1 = (
+        pairs.repartition(n_parts, "conv_a")
+        .join(la, "conv_a")
+        .join(lb, "conv_b")
         .withColumn(
-            "jw_sim",
-            jw_expr(F.col("norm_text_a"), F.col("norm_text_b"), cfg.jw_prefix_chars),
+            "cos_tokens", token_overlap_cosine_expr(F.col("tokens_a"), F.col("tokens_b"))
         )
+        .where(F.col("cos_tokens") >= PREFILTER_FLOOR)
+        .withColumn(
+            "lev_sim", lev_sim_expr(F.col("txt_a"), F.col("txt_b"), cfg.lev_prefix_chars)
+        )
+        .withColumn("jw_sim", jw_expr(F.col("txt_a"), F.col("txt_b"), cfg.jw_prefix_chars))
+        .select("conv_a", "conv_b", "cos_tokens", "lev_sim", "jw_sim")
+    )
+
+    vecs = records.select("conv_id", "vec_idx", "vec_val")
+    va = vecs.select(
+        F.col("conv_id").alias("conv_a"), F.col("vec_idx").alias("vec_idx_a"),
+        F.col("vec_val").alias("vec_val_a"),
+    )
+    vb = vecs.select(
+        F.col("conv_id").alias("conv_b"), F.col("vec_idx").alias("vec_idx_b"),
+        F.col("vec_val").alias("vec_val_b"),
+    )
+    scored = (
+        phase1.join(va, "conv_a")
+        .join(vb, "conv_b")
         .withColumn(
             "cos_tfidf",
             sparse_cosine_udf(

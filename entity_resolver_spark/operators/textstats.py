@@ -108,15 +108,19 @@ def fingerprint_expr(text: Column, window: int = 8) -> Column:
     sliding window of word 3-grams, collected as a sorted distinct
     array — robust to small edits, SQL-only."""
     words = words_expr(text)
-    grams = F.when(
-        F.size(words) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 3),
-            lambda i: F.xxhash64(
-                F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2),
-                            F.element_at(words, i + 3))
-            ),
+    # zip_with chain (O(n)) instead of element_at-by-index (O(n^2))
+    s2 = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(1)))
+    s3 = F.slice(words, 3, F.greatest(F.size(words) - 2, F.lit(1)))
+    tri = F.filter(
+        F.zip_with(
+            F.zip_with(words, s2, lambda a, b: F.concat(a, F.lit(" "), b)),
+            s3,
+            lambda ab, c: F.concat(ab, F.lit(" "), c),
         ),
+        lambda x: x.isNotNull(),
+    )
+    grams = F.when(
+        F.size(words) >= 3, F.transform(tri, lambda g: F.xxhash64(g))
     ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", words))))
     mins = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(grams) - window, F.lit(0))),
