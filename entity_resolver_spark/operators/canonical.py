@@ -28,27 +28,37 @@ from pyspark.sql import Window as W
 MAX_GROUP_SAMPLE = 128
 
 
+def _lev(a: str, b: str) -> int:
+    """Levenshtein with the row DP fully vectorized in NumPy: the
+    insertion recurrence cur[j] = min(cand[j], cur[j-1]+1) equals
+    min.accumulate(cand[j]-j)+j, so each row is O(1) NumPy calls."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    if not b:
+        return len(a)
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.arange(len(b) + 1, dtype=np.int64)
+    idx = np.arange(1, len(b) + 1, dtype=np.int64)
+    for ci, ca in enumerate(a, start=1):
+        cost = (bb != np.uint32(ord(ca))).astype(np.int64)
+        cand = np.minimum(prev[1:] + 1, prev[:-1] + cost)
+        cand = np.minimum(cand, ci + idx)  # bound via cur[0] = ci
+        cur = np.minimum.accumulate(cand - idx) + idx
+        prev = np.empty(len(b) + 1, dtype=np.int64)
+        prev[0] = ci
+        prev[1:] = cur
+    return int(prev[-1])
+
+
 def _lev_matrix(strings: list[str]) -> np.ndarray:
-    """Pairwise Levenshtein distances (NumPy DP, vectorized over one
-    axis). Inputs are capped, small groups only."""
+    """Pairwise Levenshtein distances. Inputs are capped, small groups."""
     n = len(strings)
     out = np.zeros((n, n), dtype=np.float64)
     for i in range(n):
         for j in range(i + 1, n):
-            a, b = strings[i], strings[j]
-            if len(a) < len(b):
-                a, b = b, a
-            prev = np.arange(len(b) + 1)
-            for ci, ca in enumerate(a, start=1):
-                cur = np.empty(len(b) + 1)
-                cur[0] = ci
-                bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
-                aa = np.uint32(ord(ca))
-                cost = (bb != aa).astype(np.int64)
-                for cj in range(1, len(b) + 1):
-                    cur[cj] = min(prev[cj] + 1, cur[cj - 1] + 1, prev[cj - 1] + cost[cj - 1])
-                prev = cur
-            out[i, j] = out[j, i] = prev[-1]
+            out[i, j] = out[j, i] = _lev(strings[i], strings[j])
     return out
 
 
@@ -105,8 +115,16 @@ def canonical_by_centrality(records: DataFrame, cluster_col: str = "cluster") ->
     hard_ids = per_cluster.where(F.col("n_texts") > 1).select(cluster_col)
 
     easy = canonical_by_frequency(records.join(easy_ids, cluster_col), cluster_col)
-    hard_src = records.join(hard_ids, cluster_col).select(
-        F.col(cluster_col).alias("cluster"), "norm_text"
+    n_parts = int(
+        records.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    hard_src = (
+        records.join(hard_ids, cluster_col)
+        .select(F.col(cluster_col).alias("cluster"), "norm_text")
+        # spread groups across the full parallelism: AQE would coalesce
+        # this tiny shuffle into one partition and serialize the Arrow
+        # grouped-map kernel
+        .repartition(n_parts, "cluster")
     )
     hard = hard_src.groupBy("cluster").applyInPandas(
         _canonical_one_group, schema="cluster string, canonical_text string"

@@ -1,0 +1,266 @@
+"""Cluster refinement passes (SURVEY G7/G9/G10/G12/G13, M4).
+
+Reference machinery being re-expressed:
+  * cluster merge in vector space — centroid prefilter + pairwise check
+    + union-find (utils/clustering.py:263-676, G9);
+  * cluster merge in string space — canonical-profile similarity AND
+    (merger.py:93-316, G10);
+  * statistical outlier eviction (validator.py:521-639, G12);
+  * noise attachment / reassignment with ratio + strength tests
+    (utils/clustering.py:31-260 G7; validator.py:1388-1472 K9/G13).
+
+Spark shape: all passes operate on the CLUSTER-PROFILE table, which is
+orders of magnitude smaller than the record table (one row per
+cluster), so the pairwise steps are cheap regardless of input scale;
+the only record-scale operations are the final relabel joins and the
+member-centroid cosine (one broadcast-join + one Arrow batch per
+partition). Components subsume the reference's union-find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from entity_resolver_spark.functions.similarity import (
+    jw_expr,
+    lev_sim_expr,
+    sparse_cosine_udf,
+)
+from entity_resolver_spark.operators.components import connected_components
+
+
+# ---------------------------------------------------------------------------
+# cluster profiles
+# ---------------------------------------------------------------------------
+
+def cluster_profiles(records: DataFrame, cluster_col: str = "cluster") -> DataFrame:
+    """One row per cluster: L2-normalized centroid of member TF-IDF
+    vectors (sparse, as aligned arrays), member count, canonical text
+    by frequency. Pure SQL: explode -> sum per slot -> re-collect."""
+    from entity_resolver_spark.operators.canonical import canonical_by_frequency
+
+    slots = (
+        records.select(cluster_col, F.arrays_zip("vec_idx", "vec_val").alias("z"))
+        .select(cluster_col, F.explode("z").alias("e"))
+        .groupBy(cluster_col, F.col("e.vec_idx").alias("slot"))
+        .agg(F.sum("e.vec_val").alias("w"))
+    )
+    centroid = (
+        slots.groupBy(cluster_col)
+        .agg(F.array_sort(F.collect_list(F.struct("slot", "w"))).alias("sv"))
+        .withColumn(
+            "norm",
+            F.sqrt(F.aggregate(F.col("sv"), F.lit(0.0), lambda a, e: a + e["w"] * e["w"])),
+        )
+        .select(
+            cluster_col,
+            F.transform("sv", lambda e: e["slot"]).alias("c_idx"),
+            F.transform(F.col("sv"), lambda e: e["w"] / F.col("norm")).alias("c_val"),
+        )
+    )
+    sizes = records.groupBy(cluster_col).agg(F.count("*").alias("size"))
+    canon = canonical_by_frequency(records, cluster_col)
+    return centroid.join(sizes, cluster_col).join(canon, cluster_col)
+
+
+def _top_slot_keys(c_idx, c_val, m: int = 4):
+    """The m highest-weight centroid slots as blocking keys (sorted by
+    weight desc, slot asc for determinism)."""
+    z = F.arrays_zip(c_val.alias("w"), c_idx.alias("s"))
+    # sort by (-w, s): negate weight inside a sortable struct
+    ordered = F.array_sort(F.transform(z, lambda e: F.struct((-e["w"]).alias("nw"), e["s"].alias("s"))))
+    return F.transform(F.slice(ordered, 1, m), lambda e: e["s"])
+
+
+# ---------------------------------------------------------------------------
+# G9: vector-space cluster merge
+# ---------------------------------------------------------------------------
+
+def merge_clusters_vector(
+    records: DataFrame,
+    cluster_col: str = "cluster",
+    centroid_cosine_floor: float = 0.80,
+    top_slots: int = 4,
+) -> DataFrame:
+    """Merge clusters whose centroids are near-parallel. Candidates
+    share a top-weight hashed-TFIDF slot (deterministic prefilter,
+    reference analog: centroid cos>0.75 batched prefilter); verified
+    with exact sparse cosine; merged via connected components; relabel
+    = min cluster id (largest-wins determinism is subsumed because ids
+    are min member ids)."""
+    prof = cluster_profiles(records, cluster_col)
+    keyed = prof.select(
+        F.col(cluster_col).alias("c"), "c_idx", "c_val",
+        F.explode(_top_slot_keys(F.col("c_idx"), F.col("c_val"), top_slots)).alias("k"),
+    )
+    a = keyed.select(F.col("k"), F.col("c").alias("ca"), F.col("c_idx").alias("ia"), F.col("c_val").alias("va"))
+    b = keyed.select(F.col("k"), F.col("c").alias("cb"), F.col("c_idx").alias("ib"), F.col("c_val").alias("vb"))
+    cand = (
+        a.join(b, "k")
+        .where(F.col("ca") < F.col("cb"))
+        .dropDuplicates(["ca", "cb"])
+        .withColumn("cos", sparse_cosine_udf(F.col("ia"), F.col("va"), F.col("ib"), F.col("vb")))
+        .where(F.col("cos") >= centroid_cosine_floor)
+        .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+    )
+    return _apply_merge(records, cand, cluster_col)
+
+
+# ---------------------------------------------------------------------------
+# G10: string-space cluster merge
+# ---------------------------------------------------------------------------
+
+def merge_clusters_string(
+    records: DataFrame,
+    cluster_col: str = "cluster",
+    jw_floor: float = 0.93,
+    lev_floor: float = 0.85,
+) -> DataFrame:
+    """Merge clusters whose canonical texts are near-identical under
+    BOTH Jaro-Winkler and normalized Levenshtein (the reference ANDs
+    its name-edge and address-edge lists, merger.py:257-265).
+    Candidates share a canonical-text prefix-token key."""
+    from entity_resolver_spark.operators.canonical import canonical_by_frequency
+
+    canon = canonical_by_frequency(records, cluster_col)
+    keyed = canon.withColumn(
+        "k", F.substring(F.col("canonical_text"), 1, 16)
+    )
+    a = keyed.select(F.col("k"), F.col(cluster_col).alias("ca"), F.col("canonical_text").alias("ta"))
+    b = keyed.select(F.col("k"), F.col(cluster_col).alias("cb"), F.col("canonical_text").alias("tb"))
+    cand = (
+        a.join(b, "k")
+        .where(F.col("ca") < F.col("cb"))
+        .withColumn("jw", jw_expr(F.col("ta"), F.col("tb")))
+        .withColumn("lev", lev_sim_expr(F.col("ta"), F.col("tb")))
+        .where((F.col("jw") >= jw_floor) & (F.col("lev") >= lev_floor))
+        .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+    )
+    return _apply_merge(records, cand, cluster_col)
+
+
+def _apply_merge(records: DataFrame, merge_edges: DataFrame, cluster_col: str) -> DataFrame:
+    if merge_edges.isEmpty():
+        return records
+    labels = connected_components(merge_edges)
+    remap = labels.withColumnRenamed("node", cluster_col).withColumnRenamed(
+        "component", "__m"
+    )
+    return (
+        records.join(F.broadcast(remap), cluster_col, "left")
+        .withColumn(cluster_col, F.coalesce(F.col("__m"), F.col(cluster_col)))
+        .drop("__m")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G12: outlier eviction
+# ---------------------------------------------------------------------------
+
+def evict_outliers(
+    records: DataFrame,
+    cluster_col: str = "cluster",
+    min_cluster_size: int = 4,
+    z_floor: float = 2.5,
+    cosine_floor: float = 0.80,
+) -> DataFrame:
+    """Evict members whose cosine to their cluster centroid is both an
+    intra-cluster statistical outlier (z < -z_floor) and absolutely low
+    (< cosine_floor). Evicted records become their own singleton
+    cluster (own conv_id — deterministic), eligible for reassignment.
+
+    This is the reference's Mahalanobis eviction (validator.py:521-639)
+    reduced to the 1-D member-centroid direction — the 2-D logit
+    ellipse adds nothing once the pair-space is a single fused vector."""
+    prof = cluster_profiles(records, cluster_col).select(cluster_col, "c_idx", "c_val", "size")
+    scored = (
+        records.join(F.broadcast(prof), cluster_col)
+        .withColumn(
+            "__cos",
+            sparse_cosine_udf(F.col("vec_idx"), F.col("vec_val"), F.col("c_idx"), F.col("c_val")),
+        )
+    )
+    stats = scored.groupBy(cluster_col).agg(
+        F.avg("__cos").alias("__mu"),
+        F.coalesce(F.stddev_pop("__cos"), F.lit(0.0)).alias("__sd"),
+    )
+    out = (
+        scored.join(stats, cluster_col)
+        .withColumn(
+            "__evict",
+            (F.col("size") >= min_cluster_size)
+            & (F.col("__sd") > 0)
+            & (F.col("__cos") < F.col("__mu") - z_floor * F.col("__sd"))
+            & (F.col("__cos") < cosine_floor),
+        )
+        .withColumn(
+            cluster_col,
+            F.when(F.col("__evict"), F.col("conv_id")).otherwise(F.col(cluster_col)),
+        )
+        .withColumn("evicted", F.col("__evict"))
+        .drop("c_idx", "c_val", "size", "__cos", "__mu", "__sd", "__evict")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# G7/G13: reassignment of singletons against cluster profiles
+# ---------------------------------------------------------------------------
+
+def reassign_singletons(
+    records: DataFrame,
+    cluster_col: str = "cluster",
+    assign_floor: float = 0.80,
+    ratio_floor: float = 1.25,
+) -> DataFrame:
+    """Second-pass attachment: singleton records are scored against the
+    centroids of multi-member clusters that share a top-slot blocking
+    key; attach when best cosine >= assign_floor AND best/second-best
+    >= ratio_floor (the reference's ratio + strength test,
+    utils/clustering.py:31-260)."""
+    sizes = records.groupBy(cluster_col).agg(F.count("*").alias("__n"))
+    rec = records.join(sizes, cluster_col)
+    singles = rec.where(F.col("__n") == 1).select("conv_id", "vec_idx", "vec_val", cluster_col)
+    multi = rec.where(F.col("__n") > 1)
+    if singles.isEmpty() or multi.isEmpty():
+        return records
+
+    prof = cluster_profiles(multi, cluster_col)
+    pkeys = prof.select(
+        F.col(cluster_col).alias("cand_cluster"), "c_idx", "c_val",
+        F.explode(_top_slot_keys(F.col("c_idx"), F.col("c_val"), 4)).alias("k"),
+    )
+    skeys = singles.select(
+        "conv_id", "vec_idx", "vec_val",
+        F.explode(_top_slot_keys(F.col("vec_idx"), F.col("vec_val"), 4)).alias("k"),
+    )
+    scored = (
+        skeys.join(pkeys, "k")
+        .dropDuplicates(["conv_id", "cand_cluster"])
+        .withColumn(
+            "cos",
+            sparse_cosine_udf(F.col("vec_idx"), F.col("vec_val"), F.col("c_idx"), F.col("c_val")),
+        )
+    )
+    w = W.partitionBy("conv_id").orderBy(F.col("cos").desc(), F.col("cand_cluster").asc())
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    best = ranked.where(F.col("rk") == 1).select("conv_id", "cand_cluster", F.col("cos").alias("best"))
+    second = ranked.where(F.col("rk") == 2).select("conv_id", F.col("cos").alias("second"))
+    assign = (
+        best.join(second, "conv_id", "left")
+        .where(
+            (F.col("best") >= assign_floor)
+            & (
+                F.col("second").isNull()
+                | (F.col("best") >= ratio_floor * F.col("second"))
+            )
+        )
+        .select("conv_id", F.col("cand_cluster").alias("__new"))
+    )
+    return (
+        records.join(F.broadcast(assign), "conv_id", "left")
+        .withColumn(cluster_col, F.coalesce(F.col("__new"), F.col(cluster_col)))
+        .drop("__new")
+    )

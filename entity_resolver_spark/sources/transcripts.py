@@ -42,22 +42,30 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def inject_duplicates(
-    turns: DataFrame, fraction: float = 0.3, seed: int = 42
+    turns: DataFrame, fraction: float = 0.3, seed: int = 42, variants: int = 1
 ) -> DataFrame:
     """Append perturbed copies of a deterministic subset of
-    conversations: conv_id gets a '_d' suffix; ~15% of turns get a
-    trailing ' ok' token and digits 9->8 swapped in the props payload
-    (mild typo analog). Selection and perturbation are hash-based, so
-    re-runs are identical."""
+    conversations: conv_id gets a '_d<v>' suffix; ~15% of each copy's
+    turns get a trailing ' ok' token and digits 9->8 swapped in the
+    props payload (mild typo analog). Selection and perturbation are
+    hash-based, so re-runs are identical. `variants` > 1 multiplies the
+    corpus deterministically (scaling benchmarks)."""
     pick = F.pmod(F.xxhash64("conv_id", F.lit(seed)), F.lit(1000)) < int(fraction * 1000)
-    perturb_turn = F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(seed)), F.lit(100)) < 15
-    dups = (
-        turns.where(pick)
-        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_d")))
-        .withColumn(
-            "text",
-            F.when(perturb_turn, F.concat(F.regexp_replace("text", "9", "8"), F.lit(" ok")))
-            .otherwise(F.col("text")),
+    out = turns
+    for v in range(1, variants + 1):
+        perturb_turn = (
+            F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(seed + v)), F.lit(100)) < 15
         )
-    )
-    return turns.unionByName(dups)
+        dup = (
+            turns.where(pick)
+            .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit(f"_d{v}")))
+            .withColumn(
+                "text",
+                F.when(
+                    perturb_turn,
+                    F.concat(F.regexp_replace("text", "9", "8"), F.lit(" ok")),
+                ).otherwise(F.col("text")),
+            )
+        )
+        out = out.unionByName(dup)
+    return out

@@ -1,0 +1,120 @@
+"""Refinement passes: merges, eviction, reassignment, incremental
+assignment — constructed fixtures with known answers."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from entity_resolver_spark.operators.normalize import normalize_docs
+from entity_resolver_spark.operators.refine import (
+    cluster_profiles,
+    evict_outliers,
+    merge_clusters_string,
+    merge_clusters_vector,
+    reassign_singletons,
+)
+from entity_resolver_spark.operators.vectorize import add_tfidf_vectors
+
+
+def _vectorized(spark, rows):
+    """rows: (conv_id, cluster, doc)"""
+    df = spark.createDataFrame(rows, "conv_id string, cluster string, doc string")
+    return add_tfidf_vectors(normalize_docs(df), tokens_col="match_tokens")
+
+
+A = "alpha beta gamma delta epsilon zeta eta theta"
+B = "one two three four five six seven eight nine ten"
+
+
+@pytest.fixture(scope="module")
+def split_family(spark):
+    # same underlying text in two clusters (an over-split family), plus
+    # an unrelated cluster that must NOT merge
+    rows = [
+        ("a1", "c1", A), ("a2", "c1", A + " iota"),
+        ("a3", "c9", A), ("a4", "c9", A + " kappa"),
+        ("b1", "cb", B), ("b2", "cb", B + " eleven"),
+    ]
+    return _vectorized(spark, rows).cache()
+
+
+def test_cluster_profiles(split_family):
+    prof = cluster_profiles(split_family)
+    got = {r["cluster"]: r for r in prof.collect()}
+    assert set(got) == {"c1", "c9", "cb"}
+    assert got["c1"]["size"] == 2
+    # centroid is L2-normalized
+    import numpy as np
+    v = np.array(got["c1"]["c_val"])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+
+def test_merge_vector_space(split_family):
+    out = merge_clusters_vector(split_family, centroid_cosine_floor=0.8)
+    got = {r["conv_id"]: r["cluster"] for r in out.collect()}
+    assert got["a1"] == got["a3"] == "c1"  # merged, min id wins
+    assert got["b1"] == "cb"               # untouched
+
+
+def test_merge_string_space(split_family):
+    out = merge_clusters_string(split_family, jw_floor=0.9, lev_floor=0.8)
+    got = {r["conv_id"]: r["cluster"] for r in out.collect()}
+    assert got["a1"] == got["a3"]
+    assert got["b1"] == "cb"
+
+
+def test_evict_outlier(spark):
+    # cluster of 5: four near-identical, one alien -> alien evicted
+    rows = [(f"m{i}", "cx", A + f" filler{i}") for i in range(4)]
+    rows.append(("alien", "cx", B))
+    rows += [(f"z{i}", "cz", B + f" pad{i}") for i in range(3)]  # control, size<4
+    df = _vectorized(spark, rows)
+    out = evict_outliers(df, min_cluster_size=4, z_floor=1.5, cosine_floor=0.8)
+    got = {r["conv_id"]: (r["cluster"], r["evicted"]) for r in out.collect()}
+    assert got["alien"] == ("alien", True)          # singletonized
+    assert got["m0"] == ("cx", False)
+    assert got["z0"][0] == "cz"                      # too small to evict from
+
+
+def test_reassign_singleton(spark):
+    rows = [
+        ("m1", "cm", A + " one"), ("m2", "cm", A + " two"),
+        ("lost", "lost", A + " three"),           # singleton, belongs with cm
+        ("far", "far", "unrelated totally different words here"),
+    ]
+    df = _vectorized(spark, rows)
+    out = reassign_singletons(df, assign_floor=0.6, ratio_floor=1.05)
+    got = {r["conv_id"]: r["cluster"] for r in out.collect()}
+    assert got["lost"] == "cm"
+    assert got["far"] == "far"   # nothing similar -> stays singleton
+
+
+def test_assign_new_conversations(spark, corpus):
+    import datetime as dt
+
+    from entity_resolver_spark import EntityResolverPipeline
+    from entity_resolver_spark.operators.predict import assign_new
+
+    turns, _ = corpus
+    base = turns.where("conv_id < 'conv_00012'")
+    resolved = EntityResolverPipeline().resolve(spark, base)
+
+    # replay one known conversation under a new id + one alien conversation
+    known = (
+        turns.where("conv_id = 'conv_00003_0'")
+        .withColumn("conv_id", F.lit("NEW_known"))
+    )
+    alien_rows = [
+        ("NEW_alien", 0, "user", "totally novel subject matter quantum gardening", "",
+         dt.datetime(2026, 3, 1)),
+        ("NEW_alien", 1, "assistant", "indeed quantum gardening is unprecedented here", "",
+         dt.datetime(2026, 3, 1, 0, 1)),
+    ]
+    alien = spark.createDataFrame(
+        alien_rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = assign_new(spark, resolved, known.unionByName(alien))
+    got = {r["conv_id"]: r for r in out.collect()}
+    truec = {r["conv_id"]: r["cluster"] for r in resolved.collect()}["conv_00003_0"]
+    assert got["NEW_known"]["assigned"] and got["NEW_known"]["cluster"] == truec
+    assert not got["NEW_alien"]["assigned"]
+    assert got["NEW_alien"]["cluster"] == "NEW_alien"
