@@ -46,12 +46,20 @@ class BlockingConfig(BaseModel):
     model_config = ConfigDict(extra="forbid")
 
     # deterministic channel: bottom-k of hashed distinct tokens
-    det_key_size: int = 2
-    # MinHash/LSH channel
+    det_key_size: int = 3
+    # MinHash/LSH channel: 6 bands x 4 rows over unigram+bigram
+    # match_tokens — bigrams keep cross-conversation Jaccard low in
+    # homogeneous corpora, so r=4 stays selective without losing
+    # near-duplicate recall
     minhash_hashes: int = 24
     lsh_bands: int = 6           # rows per band = minhash_hashes // lsh_bands
-    # rare-token channel: keys per record (C3)
+    # rare-token channels (C3/C4): keys per record and the df ceiling —
+    # a rare key should cover at most a duplicate family, not a
+    # mid-frequency token's whole cohort (df<=20 keeps blocks
+    # family-sized; max_block_size alone lets them reach 200 and the
+    # pair count explode quadratically)
     rare_tokens_per_record: int = 5
+    rare_max_df: int = 20
     # skew control (reference analog: max_pairs_per_chunk schema.py:1534-1540)
     max_block_size: int = 200    # records per block before salting/cap
     max_pairs_per_block: int = 20_000

@@ -69,16 +69,22 @@ def band_keys(sig_col, n_hashes: int, n_bands: int) -> "F.Column":
     )
 
 
-def blocking_keys(records: DataFrame, cfg: BlockingConfig) -> DataFrame:
-    """records(conv_id, tokens, ...) -> (conv_id, block_key) long table.
+def blocking_keys(
+    records: DataFrame, cfg: BlockingConfig, tokens_col: str = "match_tokens"
+) -> DataFrame:
+    """records(conv_id, <tokens_col>, ...) -> (conv_id, block_key) table.
 
-    Emits all three channels; empty-token records get no keys (they
-    cannot match anything anyway — reference drops empties the same
-    way, normalizer.py:455-463).
+    Keys are built over the unigram+bigram match_tokens by default:
+    bigrams make signatures word-order sensitive, so conversations that
+    merely share vocabulary (the common case in homogeneous corpora)
+    rarely collide, while true near-duplicates still do. Emits all
+    three channels; empty-token records get no keys (they cannot match
+    anything anyway — reference drops empties the same way,
+    normalizer.py:455-463).
     """
-    recs = records.select("conv_id", "tokens").where(
-        F.size("tokens") >= cfg.min_tokens
-    )
+    recs = records.select(
+        "conv_id", F.col(tokens_col).alias("tokens")
+    ).where(F.size(tokens_col) >= cfg.min_tokens)
 
     c1 = recs.select(
         "conv_id", F.concat(F.lit("det:"), det_key(F.col("tokens"), cfg.det_key_size)).alias("block_key")
@@ -95,32 +101,46 @@ def blocking_keys(records: DataFrame, cfg: BlockingConfig) -> DataFrame:
     ).withColumn("block_key", F.concat(F.lit("lsh:"), F.col("block_key")))
 
     # C3: per-record rarest tokens by global document frequency
+    c3 = _rare_token_keys(recs, "rt:", cfg)
+
+    out = c1.unionByName(c2).unionByName(c3)
+
+    # C4: rarest UNIGRAMS — a perturbed variant keeps most unigrams even
+    # when its bigrams churn, so distinctive identifiers (case numbers,
+    # ids) connect whole duplicate families through one key
+    if tokens_col != "tokens" and "tokens" in records.columns:
+        uni = records.select(
+            "conv_id", F.col("tokens").alias("tokens")
+        ).where(F.size("tokens") >= cfg.min_tokens)
+        out = out.unionByName(_rare_token_keys(uni, "ru:", cfg))
+    return out
+
+
+def _rare_token_keys(recs: DataFrame, prefix: str, cfg: BlockingConfig) -> DataFrame:
     exploded = recs.select("conv_id", F.explode("tokens").alias("token"))
     df_table = (
         exploded.groupBy("token")
         .agg(F.countDistinct("conv_id").alias("df"))
-        .where((F.col("df") >= 2) & (F.col("df") <= cfg.max_block_size))
+        .where((F.col("df") >= 2) & (F.col("df") <= cfg.rare_max_df))
     )
     rare_rank = W.partitionBy("conv_id").orderBy(F.col("df").asc(), F.col("token").asc())
-    c3 = (
+    return (
         exploded.join(df_table, "token")
         .withColumn("rk", F.row_number().over(rare_rank))
         .where(F.col("rk") <= cfg.rare_tokens_per_record)
-        .select("conv_id", F.concat(F.lit("rt:"), F.col("token")).alias("block_key"))
+        .select("conv_id", F.concat(F.lit(prefix), F.col("token")).alias("block_key"))
     )
-
-    return c1.unionByName(c2).unionByName(c3)
 
 
 def candidate_pairs(
-    records: DataFrame, cfg: BlockingConfig
+    records: DataFrame, cfg: BlockingConfig, tokens_col: str = "match_tokens"
 ) -> tuple[DataFrame, DataFrame]:
     """-> (pairs(conv_a, conv_b, n_shared_keys), block_metrics).
 
     block_metrics(block_key, block_size, status in {'ok','capped','stop'})
     is the per-stage lineage the north rule asks for.
     """
-    keys = blocking_keys(records, cfg)
+    keys = blocking_keys(records, cfg, tokens_col)
     n_records = records.count()
     stop_n = max(int(cfg.stop_key_fraction * n_records), cfg.max_block_size)
 

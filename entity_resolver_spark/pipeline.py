@@ -56,6 +56,11 @@ class EntityResolverPipeline:
             spark, cfg.output.checkpoint_dir, run_fingerprint=fp, resume=cfg.output.resume
         )
 
+        # column discipline matters more than usual here: checkpointed
+        # frames are LogicalRDD scans, which do NOT support column
+        # pruning — every consumer pays full-row deserialization. So
+        # each stage drops what downstream stages never read (doc after
+        # normalize, match_tokens after vectorize).
         collapsed = ckpt.stage("collapse", lambda: collapse_turns(turns))
 
         normalized = ckpt.stage(
@@ -65,20 +70,13 @@ class EntityResolverPipeline:
                 text_col="doc",
                 min_length=cfg.normalization.min_length,
                 empty_fallback=cfg.normalization.empty_fallback,
-            ),
-        )
-
-        vectorized = ckpt.stage(
-            "vectorize",
-            lambda: add_tfidf_vectors(
-                normalized,
-                tokens_col="match_tokens",  # order-sensitive unigram+bigram set
-                num_features=cfg.scoring.tfidf_num_features,
-            ),
+            ).drop("doc"),
         )
 
         def _pairs() -> DataFrame:
-            pairs, block_metrics = candidate_pairs(vectorized, cfg.blocking)
+            pairs, block_metrics = candidate_pairs(
+                normalized, cfg.blocking, tokens_col="match_tokens"
+            )
             self._block_metrics = {
                 r["status"]: r["n"]
                 for r in block_metrics.groupBy("status").agg(F.count("*").alias("n")).collect()
@@ -86,6 +84,15 @@ class EntityResolverPipeline:
             return pairs
 
         pairs = ckpt.stage("pairs", _pairs)
+
+        vectorized = ckpt.stage(
+            "vectorize",
+            lambda: add_tfidf_vectors(
+                normalized,
+                tokens_col="match_tokens",  # order-sensitive unigram+bigram set
+                num_features=cfg.scoring.tfidf_num_features,
+            ).drop("match_tokens"),
+        )
 
         scored = ckpt.stage(
             "pair_scores", lambda: score_pairs(vectorized, pairs, cfg.scoring)
@@ -107,7 +114,10 @@ class EntityResolverPipeline:
         )
 
         def _clustered() -> DataFrame:
-            out = attach_labels(vectorized, labels)
+            # vectors and token arrays are not read past this point —
+            # keep them out of the clustered/resolved checkpoints
+            slim = vectorized.drop("vec_idx", "vec_val", "tokens")
+            out = attach_labels(slim, labels)
             out = split_on_metadata(
                 out,
                 tool_conflict=cfg.validation.split_on_tool_conflict,
@@ -120,7 +130,9 @@ class EntityResolverPipeline:
         clustered = ckpt.stage("clustered", _clustered)
 
         canon = ckpt.stage(
-            "canonical", lambda: canonical_by_centrality(clustered)
+            "canonical",
+            # pruned projection: the kernel only reads these two columns
+            lambda: canonical_by_centrality(clustered.select("cluster", "norm_text")),
         )
 
         def _final() -> DataFrame:

@@ -13,15 +13,36 @@ def _records(spark, corpus):
     return normalize_docs(collapse_turns(turns).drop("turns"))
 
 
-def test_duplicates_share_a_block(spark, corpus):
+def test_duplicate_families_connected_by_blocking(spark, corpus):
+    """Transitive clustering needs every duplicate FAMILY to form one
+    connected component over candidate pairs — two mutually-perturbed
+    variants may legitimately meet only through the base variant."""
     recs = _records(spark, corpus)
     _, labeled = corpus
     pairs, _ = candidate_pairs(recs, BlockingConfig())
-    true_pairs = labeled.where("is_match").select(
-        F.col("conv_id_a").alias("conv_a"), F.col("conv_id_b").alias("conv_b")
-    )
-    missed = true_pairs.join(pairs, ["conv_a", "conv_b"], "left_anti").count()
-    assert missed == 0, f"{missed} labeled duplicate pairs produced no candidate"
+    got = {(r["conv_a"], r["conv_b"]) for r in pairs.collect()}
+
+    fams: dict[str, set[str]] = {}
+    for r in labeled.where("is_match").collect():
+        fam = r["conv_id_a"].rsplit("_", 1)[0]
+        fams.setdefault(fam, set()).update([r["conv_id_a"], r["conv_id_b"]])
+
+    broken = []
+    for fam, members in fams.items():
+        parent = {m: m for m in members}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in got:
+            if a in parent and b in parent:
+                parent[find(a)] = find(b)
+        if len({find(m) for m in members}) > 1:
+            broken.append(fam)
+    assert not broken, f"families not connected by candidates: {broken[:5]}"
 
 
 def test_stop_key_filter_drops_degenerate_blocks(spark):
