@@ -78,9 +78,17 @@ class ScoringConfig(BaseModel):
     w_levenshtein: float = 0.30
     w_cosine: float = 0.50
     edge_threshold: float = 0.55          # pairs scoring >= this become edges
-    lev_prefix_chars: int = 256           # cap built-in levenshtein() cost
+    # cap built-in levenshtein() cost: the DP is O(cap^2) per pair and
+    # dominated the scoring stage at 256 (measured ~31s vs ~8s at 128 on
+    # 380k pairs); normalized transcript prefixes discriminate as well
+    # at 128 because perturbations spread through the whole doc
+    lev_prefix_chars: int = 128
     jw_prefix_chars: int = 64             # JW is a prefix-heavy measure anyway
     tfidf_num_features: int = 1 << 18     # hashed TF-IDF dimension
+    # keep only the top-k highest-IDF slots per record (reference
+    # analog: vector pruning, utils/similarity.py:213-400) — bounds the
+    # pair-scoring payload per record; None disables
+    vector_top_k: int | None = 128
     tfidf_min_df: int = 1
 
 

@@ -70,7 +70,10 @@ def band_keys(sig_col, n_hashes: int, n_bands: int) -> "F.Column":
 
 
 def blocking_keys(
-    records: DataFrame, cfg: BlockingConfig, tokens_col: str = "match_tokens"
+    records: DataFrame,
+    cfg: BlockingConfig,
+    tokens_col: str = "match_tokens",
+    df_table: DataFrame | None = None,
 ) -> DataFrame:
     """records(conv_id, <tokens_col>, ...) -> (conv_id, block_key) table.
 
@@ -101,7 +104,7 @@ def blocking_keys(
     ).withColumn("block_key", F.concat(F.lit("lsh:"), F.col("block_key")))
 
     # C3: per-record rarest tokens by global document frequency
-    c3 = _rare_token_keys(recs, "rt:", cfg)
+    c3 = _rare_token_keys(recs, "rt:", cfg, df_table=df_table)
 
     out = c1.unionByName(c2).unionByName(c3)
 
@@ -116,13 +119,14 @@ def blocking_keys(
     return out
 
 
-def _rare_token_keys(recs: DataFrame, prefix: str, cfg: BlockingConfig) -> DataFrame:
+def _rare_token_keys(
+    recs: DataFrame, prefix: str, cfg: BlockingConfig, df_table: DataFrame | None = None
+) -> DataFrame:
     exploded = recs.select("conv_id", F.explode("tokens").alias("token"))
-    df_table = (
-        exploded.groupBy("token")
-        .agg(F.countDistinct("conv_id").alias("df"))
-        .where((F.col("df") >= 2) & (F.col("df") <= cfg.rare_max_df))
-    )
+    if df_table is None:
+        # token arrays are distinct per record, so count(*) == distinct ids
+        df_table = exploded.groupBy("token").agg(F.count("*").alias("df"))
+    df_table = df_table.where((F.col("df") >= 2) & (F.col("df") <= cfg.rare_max_df))
     rare_rank = W.partitionBy("conv_id").orderBy(F.col("df").asc(), F.col("token").asc())
     return (
         exploded.join(df_table, "token")
@@ -133,14 +137,23 @@ def _rare_token_keys(recs: DataFrame, prefix: str, cfg: BlockingConfig) -> DataF
 
 
 def candidate_pairs(
-    records: DataFrame, cfg: BlockingConfig, tokens_col: str = "match_tokens"
+    records: DataFrame,
+    cfg: BlockingConfig,
+    tokens_col: str = "match_tokens",
+    df_table: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (pairs(conv_a, conv_b, n_shared_keys), block_metrics).
 
     block_metrics(block_key, block_size, status in {'ok','capped','stop'})
     is the per-stage lineage the north rule asks for.
     """
-    keys = blocking_keys(records, cfg, tokens_col)
+    # keys feeds two consumers (the size aggregation and the pair
+    # self-join) — materialize once or the whole signature/rare-token
+    # plan executes twice. The table is tiny: ~keys_per_record rows of
+    # (conv_id, block_key).
+    keys = blocking_keys(records, cfg, tokens_col, df_table=df_table).localCheckpoint(
+        eager=True
+    )
     n_records = records.count()
     stop_n = max(int(cfg.stop_key_fraction * n_records), cfg.max_block_size)
 

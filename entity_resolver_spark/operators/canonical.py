@@ -26,6 +26,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 MAX_GROUP_SAMPLE = 128
+# edit-distance centrality only for small groups of short strings —
+# the reference gates its Levenshtein path the same way (<24 distinct,
+# utils/similarity.py:128-168) and uses TF-IDF cosine centrality
+# otherwise (text.py:297-358). Long transcript docs always take the
+# hashed-token path: lev on 128-char prefixes of near-identical docs
+# is both slow (O(len^2) per pair) and uninformative (prefixes match).
+LEV_MAX_UNIQUES = 24
+LEV_MAX_CHARS = 64
+_HASH_DIM = 1024
 
 
 def _lev(a: str, b: str) -> int:
@@ -62,10 +71,34 @@ def _lev_matrix(strings: list[str]) -> np.ndarray:
     return out
 
 
+def _hashed_cosine_sim(strings: list[str]) -> np.ndarray:
+    """Pairwise cosine similarity over hashed token counts (stable
+    crc32 hashing — deterministic across processes, reference O14).
+    The NumPy analog of the reference's TF-IDF centrality kernel
+    (text.py:246-273,297-358): V_n @ V_n.T on L2-normalized rows."""
+    from zlib import crc32
+
+    v = np.zeros((len(strings), _HASH_DIM), dtype=np.float64)
+    for i, s in enumerate(strings):
+        toks = s.split()
+        if not toks:
+            continue
+        idx = np.fromiter(
+            (crc32(t.encode()) % _HASH_DIM for t in toks), dtype=np.int64, count=len(toks)
+        )
+        np.add.at(v[i], idx, 1.0)
+    norms = np.linalg.norm(v, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    vn = v / norms
+    return vn @ vn.T
+
+
 def _canonical_one_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Reference K7 scoring: score = (centrality + frequency) * length_bonus;
-    centrality from the exp(-lev/max_len) similarity matrix weighted by
-    frequency (text.py:225-294); winner = argmax with deterministic
+    centrality from a similarity matrix weighted by frequency
+    (text.py:225-294): exp(-lev/max_len) for small groups of short
+    strings, hashed-token cosine otherwise (the reference's TF-IDF
+    variant, text.py:297-358); winner = argmax with deterministic
     (score desc, text asc) tie-break."""
     cluster = pdf["cluster"].iloc[0]
     counts = pdf.groupby("norm_text")["norm_text"].count().sort_index()
@@ -77,10 +110,12 @@ def _canonical_one_group(pdf: pd.DataFrame) -> pd.DataFrame:
         freqs = counts.iloc[sorted(top)].to_numpy(dtype=np.float64)
     if len(uniques) == 1:
         return pd.DataFrame({"cluster": [cluster], "canonical_text": [uniques[0]]})
-    capped = [u[:128] for u in uniques]
-    dist = _lev_matrix(capped)
-    max_len = max(1, max(len(u) for u in capped))
-    sim = np.exp(-dist / max_len)
+    if len(uniques) < LEV_MAX_UNIQUES and max(len(u) for u in uniques) <= LEV_MAX_CHARS:
+        dist = _lev_matrix(uniques)
+        max_len = max(1, max(len(u) for u in uniques))
+        sim = np.exp(-dist / max_len)
+    else:
+        sim = _hashed_cosine_sim(uniques)
     w = freqs / freqs.sum()
     centrality = sim @ w
     freq_term = freqs / freqs.max()

@@ -20,8 +20,7 @@ from entity_resolver_spark.config import ScoringConfig
 from entity_resolver_spark.functions.similarity import (
     jw_expr,
     lev_sim_expr,
-    sparse_cosine_udf,
-    token_overlap_cosine_expr,
+    sparse_cosine_blob_udf,
 )
 
 # pairs below this cheap-cosine floor never reach the Python kernels
@@ -29,28 +28,42 @@ PREFILTER_FLOOR = 0.15
 
 
 def score_pairs(
-    records: DataFrame, pairs: DataFrame, cfg: ScoringConfig
+    records: DataFrame,
+    pairs: DataFrame,
+    cfg: ScoringConfig,
+    broadcast_records: bool = False,
 ) -> DataFrame:
     """pairs(conv_a, conv_b) -> scored pairs with individual kernel
     columns and the weighted `score` (all in [0,1]).
 
-    Two-phase join for shuffle volume: phase 1 attaches only the LIGHT
-    attributes (length-capped text + unigram token set), runs the JVM
-    prefilter and the string kernels; phase 2 attaches the heavy hashed
-    TF-IDF arrays ONLY for surviving pairs. At 100TB the candidate set
-    is orders of magnitude larger than the survivor set, so the heavy
-    arrays never ride the big shuffle."""
+    Join shape: ONE join per pair side attaching every attribute the
+    kernels need (capped text + sparse vector). An earlier four-join
+    two-phase variant shuffled the accumulating pair payload once per
+    hop (~11GB at 380k candidate pairs) and the sort-merge sorts
+    dominated the stage; with attributes attached once per side the
+    payload crosses the wire once. `broadcast_records=True` (caller
+    decides from the KNOWN record count — checkpointed inputs carry no
+    stats for Catalyst to decide with) removes even that shuffle: the
+    pair table never moves at all.
+
+    The JVM prefilter (binary overlap cosine on vec_idx, which rides
+    along for the TF-IDF cosine anyway) still gates the Python kernels:
+    only surviving rows reach Arrow."""
     cap = max(cfg.lev_prefix_chars, cfg.jw_prefix_chars)
-    light = records.select(
+    attrs = records.select(
         "conv_id",
         F.substring("norm_text", 1, cap).alias("txt"),
-        "tokens",
+        "vec_blob",
     )
-    la = light.select(
-        F.col("conv_id").alias("conv_a"), F.col("txt").alias("txt_a"), F.col("tokens").alias("tokens_a")
+    if broadcast_records:
+        attrs = F.broadcast(attrs)
+    aa = attrs.select(
+        F.col("conv_id").alias("conv_a"), F.col("txt").alias("txt_a"),
+        F.col("vec_blob").alias("blob_a"),
     )
-    lb = light.select(
-        F.col("conv_id").alias("conv_b"), F.col("txt").alias("txt_b"), F.col("tokens").alias("tokens_b")
+    ab = attrs.select(
+        F.col("conv_id").alias("conv_b"), F.col("txt").alias("txt_b"),
+        F.col("vec_blob").alias("blob_b"),
     )
 
     # candidate pairs are few bytes each, so AQE coalesces them into a
@@ -59,39 +72,21 @@ def score_pairs(
     n_parts = int(
         records.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    phase1 = (
-        pairs.repartition(n_parts, "conv_a")
-        .join(la, "conv_a")
-        .join(lb, "conv_b")
-        .withColumn(
-            "cos_tokens", token_overlap_cosine_expr(F.col("tokens_a"), F.col("tokens_b"))
-        )
+    scored = (
+        pairs.repartition(n_parts, "conv_a", "conv_b")
+        .join(aa, "conv_a")
+        .join(ab, "conv_b")
+        # one Arrow round trip computes BOTH cosines from the packed
+        # blobs; the string kernels then run only on pairs passing the
+        # overlap floor (when() short-circuits per row)
+        .withColumn("cs", sparse_cosine_blob_udf(F.col("blob_a"), F.col("blob_b")))
+        .withColumn("cos_tokens", F.col("cs.cos_bin"))
+        .withColumn("cos_tfidf", F.col("cs.cos"))
         .where(F.col("cos_tokens") >= PREFILTER_FLOOR)
         .withColumn(
             "lev_sim", lev_sim_expr(F.col("txt_a"), F.col("txt_b"), cfg.lev_prefix_chars)
         )
         .withColumn("jw_sim", jw_expr(F.col("txt_a"), F.col("txt_b"), cfg.jw_prefix_chars))
-        .select("conv_a", "conv_b", "cos_tokens", "lev_sim", "jw_sim")
-    )
-
-    vecs = records.select("conv_id", "vec_idx", "vec_val")
-    va = vecs.select(
-        F.col("conv_id").alias("conv_a"), F.col("vec_idx").alias("vec_idx_a"),
-        F.col("vec_val").alias("vec_val_a"),
-    )
-    vb = vecs.select(
-        F.col("conv_id").alias("conv_b"), F.col("vec_idx").alias("vec_idx_b"),
-        F.col("vec_val").alias("vec_val_b"),
-    )
-    scored = (
-        phase1.join(va, "conv_a")
-        .join(vb, "conv_b")
-        .withColumn(
-            "cos_tfidf",
-            sparse_cosine_udf(
-                F.col("vec_idx_a"), F.col("vec_val_a"), F.col("vec_idx_b"), F.col("vec_val_b")
-            ),
-        )
         .withColumn(
             "score",
             cfg.w_jaro_winkler * F.col("jw_sim")

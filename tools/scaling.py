@@ -29,7 +29,12 @@ def main() -> None:
         transcripts_from_events,
     )
 
+    from entity_resolver_spark.session import warm_up
+
     spark = get_spark(app_name=f"scaling_{cores}", cores=cores)
+    t_w = time.time()
+    warm_up(spark)
+    warm_s = round(time.time() - t_w, 1)
     turns = inject_duplicates(
         transcripts_from_events(spark, sf_dir), fraction=1.0, variants=variants
     ).localCheckpoint(eager=True)
@@ -51,6 +56,7 @@ def main() -> None:
                 "n_turns": n_turns,
                 "n_entities": n_entities,
                 "wall_sec": round(wall, 1),
+                "warmup_sec": warm_s,
                 "turns_per_sec": round(n_turns / wall, 1),
                 "stages": [(m["stage"], m["rows"], m["seconds"]) for m in pipe.metrics],
             }
