@@ -374,6 +374,31 @@ def q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", F.size(fingerprint_expr(F.col("text"))).alias("fp_size"))
 
 
+def q_entity_names(spark, sf_dir):
+    """P3/P4/P5: the reference's 10-step entity-name normalization
+    (word-number expansion, dba/fka extraction, separator/OCR fixes,
+    iterative suffix removal) on names synthesized from part names —
+    suffix/qualifier decoration keyed on p_partkey so both engines
+    derive identical inputs."""
+    from entity_resolver_spark.functions.entity_names import normalize_entity_expr
+
+    p = _read(spark, sf_dir, "part")
+    raw = F.concat(
+        F.lower(F.col("p_name")),
+        F.element_at(
+            F.array(
+                F.lit(" llc"), F.lit(" inc (usa)"), F.lit(" d/b/a triple a supply"),
+                F.lit("'s holdings ltd"), F.lit(""),
+            ),
+            (F.col("p_partkey") % 5 + 1).cast("int"),
+        ),
+    )
+    return p.select(
+        F.col("p_partkey").alias("key"),
+        normalize_entity_expr(raw).alias("norm_name"),
+    )
+
+
 def q_media_features(spark, sf_dir):
     from entity_resolver_spark.operators.multimodal import extract_features, synth_media
 
@@ -401,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "join_agg_topn": q_join_agg_topn,
         "sessionize": q_sessionize,
+        "entity_names": q_entity_names,
         # rows-only (non-portable hashing / Arrow-only kernels / pipeline)
         "resolve_entities": q_resolve_entities,
         "minhash_dedup": q_minhash_dedup,
@@ -648,4 +674,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM g GROUP BY user_id
         """,
+        "entity_names": _entity_names_oracle(),
     }
+
+
+def _entity_names_oracle() -> str:
+    from entity_resolver_spark.functions.entity_names import normalize_entity_sql
+
+    raw = (
+        "concat(lower(p_name), list_extract("
+        "[' llc', ' inc (usa)', ' d/b/a triple a supply', '''s holdings ltd', ''],"
+        " CAST(p_partkey % 5 + 1 AS INT)))"
+    )
+    return f"SELECT p_partkey AS key, {normalize_entity_sql(raw)} AS norm_name FROM part"

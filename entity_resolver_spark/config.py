@@ -101,6 +101,31 @@ class ClusteringConfig(BaseModel):
     checkpoint_every: int = 1
 
 
+class RefinementConfig(BaseModel):
+    """Post-clustering refinement passes (reference: validator.py
+    evict/reassign G12/G13, merger.py merge passes G9/G10). All operate
+    on the cluster-profile table (one row per cluster), so cost scales
+    with cluster count, not record count."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    evict_outliers: bool = True
+    evict_min_cluster_size: int = 4
+    evict_z_floor: float = 2.5
+    evict_cosine_floor: float = 0.80
+
+    reassign_singletons: bool = True
+    assign_floor: float = 0.80
+    assign_ratio_floor: float = 1.25
+
+    merge_vector: bool = True
+    merge_centroid_cosine_floor: float = 0.80
+
+    merge_string: bool = True
+    merge_jw_floor: float = 0.93
+    merge_lev_floor: float = 0.85
+
+
 class ValidationConfig(BaseModel):
     """Cluster validation / splits (reference: refiner.py:423-589 analogs)."""
 
@@ -142,6 +167,7 @@ class ResolverConfig(BaseModel):
     blocking: BlockingConfig = Field(default_factory=BlockingConfig)
     scoring: ScoringConfig = Field(default_factory=ScoringConfig)
     clustering: ClusteringConfig = Field(default_factory=ClusteringConfig)
+    refinement: RefinementConfig = Field(default_factory=RefinementConfig)
     validation: ValidationConfig = Field(default_factory=ValidationConfig)
     confidence: ConfidenceConfig = Field(default_factory=ConfidenceConfig)
     output: OutputConfig = Field(default_factory=OutputConfig)

@@ -28,6 +28,12 @@ from entity_resolver_spark.operators.components import attach_labels, connected_
 from entity_resolver_spark.operators.confidence import cluster_edge_stats, score_confidence
 from entity_resolver_spark.operators.normalize import normalize_docs
 from entity_resolver_spark.operators.pairs import edges_from_scores, score_pairs
+from entity_resolver_spark.operators.refine import (
+    evict_outliers,
+    merge_clusters_string,
+    merge_clusters_vector,
+    reassign_singletons,
+)
 from entity_resolver_spark.operators.validate import (
     consolidate_identical,
     q1_violations,
@@ -136,10 +142,35 @@ class EntityResolverPipeline:
         )
 
         def _clustered() -> DataFrame:
-            # vectors and token arrays are not read past this point —
-            # keep them out of the clustered/resolved checkpoints
-            slim = vectorized.drop("vec_idx", "vec_val", "vec_blob", "tokens")
-            out = attach_labels(slim, labels)
+            # refinement passes need the vectors; reference order
+            # (resolver.py:438-466): evict/reassign, then merge passes,
+            # then splits and identical-key consolidation
+            out = attach_labels(vectorized.drop("tokens", "vec_blob"), labels)
+            ref = cfg.refinement
+            if ref.evict_outliers:
+                out = evict_outliers(
+                    out,
+                    min_cluster_size=ref.evict_min_cluster_size,
+                    z_floor=ref.evict_z_floor,
+                    cosine_floor=ref.evict_cosine_floor,
+                ).drop("evicted")
+            if ref.reassign_singletons:
+                out = reassign_singletons(
+                    out,
+                    assign_floor=ref.assign_floor,
+                    ratio_floor=ref.assign_ratio_floor,
+                )
+            if ref.merge_vector:
+                out = merge_clusters_vector(
+                    out, centroid_cosine_floor=ref.merge_centroid_cosine_floor
+                )
+            if ref.merge_string:
+                out = merge_clusters_string(
+                    out, jw_floor=ref.merge_jw_floor, lev_floor=ref.merge_lev_floor
+                )
+            # vectors are not read past this point — keep them out of
+            # the clustered/resolved checkpoints
+            out = out.drop("vec_idx", "vec_val")
             out = split_on_metadata(
                 out,
                 tool_conflict=cfg.validation.split_on_tool_conflict,
