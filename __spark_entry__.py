@@ -399,6 +399,23 @@ def q_entity_names(spark, sf_dir):
     )
 
 
+def q_phonetic_block(spark, sf_dir):
+    """V2/V3: per-word metaphone codes over customer names; grouped by
+    code to show the phonetic-blocking key distribution (rows-only:
+    DuckDB has no metaphone)."""
+    from entity_resolver_spark.functions.phonetics import add_phonetic_tokens
+
+    c = _read(spark, sf_dir, "customer").select(
+        "c_custkey", F.lower(F.col("c_name")).alias("name")
+    )
+    tok = add_phonetic_tokens(c, "name")
+    return (
+        tok.select(F.explode("phonetic_tokens").alias("code"))
+        .groupBy("code")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_media_features(spark, sf_dir):
     from entity_resolver_spark.operators.multimodal import extract_features, synth_media
 
@@ -434,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "doc_fingerprint": q_doc_fingerprint,
         "media_features": q_media_features,
+        "phonetic_block": q_phonetic_block,
     }
 
 

@@ -22,12 +22,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # default parallelism 8: this host exposes 32 vCPUs but delivers
+    # ~12 cores of real compute (see BENCH.md's capacity probe);
+    # local[32] measurably UNDERPERFORMS local[8] here. On a real
+    # cluster this is sized to total executor cores instead.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    from entity_resolver_spark.session import get_spark
+    from entity_resolver_spark.session import get_spark, warm_up
 
     spark = get_spark(app_name="bench", cores=cpus)
+    warm_up(spark)  # steady-state executors; excluded from query timings
 
     import __spark_entry__ as entry
 

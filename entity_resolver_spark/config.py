@@ -172,3 +172,19 @@ class ResolverConfig(BaseModel):
     confidence: ConfidenceConfig = Field(default_factory=ConfidenceConfig)
     output: OutputConfig = Field(default_factory=OutputConfig)
     random_seed: int = 42
+
+    # S4: YAML config I/O (reference config/loader.py:69-95 load,
+    # 128-157 save — pydantic-validated round trip, strict extra=forbid)
+    @classmethod
+    def from_yaml(cls, path: str) -> "ResolverConfig":
+        import yaml
+
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+        return cls.model_validate(data)
+
+    def to_yaml(self, path: str) -> None:
+        import yaml
+
+        with open(path, "w") as f:
+            yaml.safe_dump(self.model_dump(mode="json"), f, sort_keys=False)

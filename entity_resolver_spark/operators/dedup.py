@@ -151,21 +151,21 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(tokens_col) -> "F.Column":
-    """64-bit SimHash of a token array, pure column expressions:
-    for each bit b, sum(sign of bit b over token hashes) >= 0 -> bit set.
-    Implemented as 64 aggregates over the token array (codegen'd)."""
-    # majority vote per bit: count tokens with bit set vs total
-    n = F.size(tokens_col)
+def simhash64(hashes_col) -> "F.Column":
+    """64-bit SimHash from a column of ALREADY-HASHED token longs:
+    for each bit b, majority vote over the hashes sets the bit. 64
+    codegen'd aggregates over the long array — callers hash each token
+    exactly once (an earlier version hashed inside the per-bit lambda,
+    re-running xxhash64 64x per token)."""
+    n = F.size(hashes_col)
 
     def bit_votes(b: int):
         # factory closure (NOT a default-arg lambda: that changes the
         # PySpark lambda arity and binds the accumulator slot to b)
         return F.aggregate(
-            tokens_col,
+            hashes_col,
             F.lit(0),
-            lambda acc, t: acc
-            + F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)).cast("int"),
+            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
         )
 
     bits = [(bit_votes(b) * 2 >= n).cast("long") for b in range(64)]
@@ -185,10 +185,15 @@ def simhash_pairs(
     generation by 16-bit chunk equality (pigeonhole over 4 chunks
     guarantees recall for <=3 flips); verification via bit_count."""
     words = F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9 ]", " ")), r"\s+")
-    sh = docs.select(
+    toks = F.filter(words, lambda t: F.length(t) > 0)
+    # materialize token hashes as a real column: referenced 64 times by
+    # the per-bit votes, and a non-cheap expression tree would be
+    # re-evaluated per reference if inlined
+    hashed = docs.select(
         F.col(id_col).alias("id"),
-        simhash64(F.filter(words, lambda t: F.length(t) > 0)).alias("sim"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
     )
+    sh = hashed.select("id", simhash64(F.col("th")).alias("sim"))
     chunks = sh.select(
         "id",
         "sim",

@@ -144,8 +144,15 @@ class EntityResolverPipeline:
         def _clustered() -> DataFrame:
             # refinement passes need the vectors; reference order
             # (resolver.py:438-466): evict/reassign, then merge passes,
-            # then splits and identical-key consolidation
-            out = attach_labels(vectorized.drop("tokens", "vec_blob"), labels)
+            # then splits and identical-key consolidation. Every pass
+            # reads its input several times (profiles, stats, relabel
+            # join), so materialize between passes — without the cuts
+            # the upstream plan recomputes once per reference and the
+            # stage goes combinatorial (measured 243s vs ~20s at 48k
+            # records).
+            out = attach_labels(
+                vectorized.drop("tokens", "vec_blob"), labels
+            ).localCheckpoint(eager=True)
             ref = cfg.refinement
             if ref.evict_outliers:
                 out = evict_outliers(
@@ -153,17 +160,17 @@ class EntityResolverPipeline:
                     min_cluster_size=ref.evict_min_cluster_size,
                     z_floor=ref.evict_z_floor,
                     cosine_floor=ref.evict_cosine_floor,
-                ).drop("evicted")
+                ).drop("evicted").localCheckpoint(eager=True)
             if ref.reassign_singletons:
                 out = reassign_singletons(
                     out,
                     assign_floor=ref.assign_floor,
                     ratio_floor=ref.assign_ratio_floor,
-                )
+                ).localCheckpoint(eager=True)
             if ref.merge_vector:
                 out = merge_clusters_vector(
                     out, centroid_cosine_floor=ref.merge_centroid_cosine_floor
-                )
+                ).localCheckpoint(eager=True)
             if ref.merge_string:
                 out = merge_clusters_string(
                     out, jw_floor=ref.merge_jw_floor, lev_floor=ref.merge_lev_floor

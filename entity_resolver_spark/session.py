@@ -94,12 +94,13 @@ def warm_up(spark: SparkSession, rows: int = 4_000_000) -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
-    # 2) Python workers: fault in AND RETAIN each worker's NumPy working
-    # set (~128MB). With MALLOC_TRIM_THRESHOLD_ raised (top of module),
-    # the freed buffers stay in the worker's heap, so real UDF batches
-    # run fault-free — minor faults cost ~100x normal on this host.
+    # 2) Python workers: fault in AND RETAIN each worker's working set
+    # (~128MB of NumPy temps + the Arrow binary/list conversion paths
+    # the real kernels use). With MALLOC_TRIM_THRESHOLD_ raised (top of
+    # module), freed buffers stay in the worker's heap, so real UDF
+    # batches run fault-free — minor faults cost ~100x normal here.
     @F.pandas_udf(T.DoubleType())
-    def _touch(ids: pd.Series) -> pd.Series:  # pragma: no cover
+    def _touch(blob: pd.Series, arr: pd.Series) -> pd.Series:  # pragma: no cover
         import numpy as np
 
         acc = 0.0
@@ -107,13 +108,19 @@ def warm_up(spark: SparkSession, rows: int = 4_000_000) -> None:
             bufs = [np.full(4_000_000, i, dtype=np.int64) for i in range(4)]
             acc += float(sum(b[::4096].sum() for b in bufs))
             del bufs
-        return pd.Series(np.full(len(ids), acc), dtype="float64")
+        acc += float(sum(len(b) for b in blob if b is not None))
+        acc += float(np.concatenate([np.asarray(a) for a in arr]).sum())
+        return pd.Series(np.full(len(blob), acc), dtype="float64")
 
     n_workers = int(spark.sparkContext.defaultParallelism)
     (
-        spark.range(n_workers * 4)
+        spark.range(n_workers * 4 * 3000)
         .repartition(n_workers * 4)
-        .select(_touch(F.col("id")).alias("t"))
+        # ~2.5KB binary + a 64-slot double array per row: the same Arrow
+        # column shapes (and per-batch volume) the scoring kernels see
+        .withColumn("blob", F.expr("repeat(cast('x' as binary), 2500)"))
+        .withColumn("arr", F.array(*[(F.col("id") + i).cast("double") for i in range(64)]))
+        .select(_touch(F.col("blob"), F.col("arr")).alias("t"))
         .write.format("noop").mode("overwrite").save()
     )
 

@@ -42,11 +42,44 @@ def main() -> None:
 
     from entity_resolver_spark import EntityResolverPipeline
 
+    import os
+
+    def _tree_cpu_sec() -> float:
+        """Total utime+stime of this process and every live descendant
+        (JVM + python workers) from /proc. If ~constant across
+        parallelism levels, the job does no extra work at higher
+        parallelism and the wall ratio is purely host scheduling."""
+        tick = os.sysconf("SC_CLK_TCK")
+        pids, total = {os.getpid()}, 0.0
+        grew = True
+        while grew:
+            grew = False
+            for p in os.listdir("/proc"):
+                if p.isdigit() and int(p) not in pids:
+                    try:
+                        with open(f"/proc/{p}/stat") as f:
+                            parts = f.read().rsplit(")", 1)[1].split()
+                    except OSError:
+                        continue
+                    if int(parts[1]) in pids:  # ppid
+                        pids.add(int(p))
+                        grew = True
+        for p in pids:
+            try:
+                with open(f"/proc/{p}/stat") as f:
+                    parts = f.read().rsplit(")", 1)[1].split()
+                total += (int(parts[11]) + int(parts[12])) / tick
+            except OSError:
+                continue
+        return total
+
+    c0 = _tree_cpu_sec()
     t0 = time.time()
     pipe = EntityResolverPipeline()
     res = pipe.resolve(spark, turns)
     n_entities = res.count()
     wall = time.time() - t0
+    cpu_children = round(_tree_cpu_sec() - c0, 1)
     print(
         json.dumps(
             {
@@ -57,6 +90,7 @@ def main() -> None:
                 "n_entities": n_entities,
                 "wall_sec": round(wall, 1),
                 "warmup_sec": warm_s,
+                "cpu_sec_children": cpu_children,
                 "turns_per_sec": round(n_turns / wall, 1),
                 "stages": [(m["stage"], m["rows"], m["seconds"]) for m in pipe.metrics],
             }
