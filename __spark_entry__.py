@@ -399,14 +399,25 @@ def q_entity_names(spark, sf_dir):
     )
 
 
+def q_completeness(spark, sf_dir):
+    """P10 analog: weighted metadata-presence score per collapsed
+    conversation (doc text w=2, multi-role 1, tools 1, time range 1)."""
+    from entity_resolver_spark.operators.collapse import collapse_turns, completeness_expr
+
+    t = _transcripts(spark, sf_dir)
+    return collapse_turns(t).select(
+        "conv_id", F.round(completeness_expr(), 6).alias("completeness")
+    )
+
+
 def q_phonetic_block(spark, sf_dir):
-    """V2/V3: per-word metaphone codes over customer names; grouped by
-    code to show the phonetic-blocking key distribution (rows-only:
-    DuckDB has no metaphone)."""
+    """V2/V3: per-word metaphone codes over part names (real English
+    words); grouped by code to show the phonetic-blocking key
+    distribution (rows-only: DuckDB has no metaphone)."""
     from entity_resolver_spark.functions.phonetics import add_phonetic_tokens
 
-    c = _read(spark, sf_dir, "customer").select(
-        "c_custkey", F.lower(F.col("c_name")).alias("name")
+    c = _read(spark, sf_dir, "part").select(
+        "p_partkey", F.lower(F.col("p_name")).alias("name")
     )
     tok = add_phonetic_tokens(c, "name")
     return (
@@ -444,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_agg_topn": q_join_agg_topn,
         "sessionize": q_sessionize,
         "entity_names": q_entity_names,
+        "completeness": q_completeness,
         # rows-only (non-portable hashing / Arrow-only kernels / pipeline)
         "resolve_entities": q_resolve_entities,
         "minhash_dedup": q_minhash_dedup,
@@ -693,6 +705,15 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY user_id
         """,
         "entity_names": _entity_names_oracle(),
+        "completeness": f"""
+            {t_cte}
+            SELECT conv_id,
+                   round((CASE WHEN length(trim(string_agg(text, ' ' ORDER BY turn_idx))) > 0 THEN 2 ELSE 0 END
+                        + CASE WHEN count(DISTINCT role) > 1 THEN 1 ELSE 0 END
+                        + CASE WHEN count(DISTINCT nullif(tool, '')) > 0 THEN 1 ELSE 0 END
+                        + CASE WHEN max(ts) > min(ts) THEN 1 ELSE 0 END) / 5.0, 6) AS completeness
+            FROM t GROUP BY conv_id
+        """,
     }
 
 

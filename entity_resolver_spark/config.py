@@ -125,6 +125,9 @@ class RefinementConfig(BaseModel):
     merge_jw_floor: float = 0.93
     merge_lev_floor: float = 0.85
 
+    # G15 analog: fill empty tools sets from the cluster-majority record
+    enrich_metadata: bool = True
+
 
 class ValidationConfig(BaseModel):
     """Cluster validation / splits (reference: refiner.py:423-589 analogs)."""

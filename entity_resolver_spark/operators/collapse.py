@@ -60,6 +60,32 @@ def collapse_turns(turns: DataFrame, turn_sep: str = " ") -> DataFrame:
     )
 
 
+def completeness_expr(
+    doc=None, roles=None, tools=None, ts_min=None, ts_max=None
+):
+    """P10 analog: weighted metadata-presence score in [0,1].
+
+    The reference scores address completeness with street_name
+    weighted 2 and the other components 1, zip gated on a validity
+    pattern (utils/address.py:38-44,340-380). The transcript analog:
+    document text present (weight 2 — the primary matching signal),
+    more than one role (1), any tool recorded (1), a valid non-zero
+    time range (1); normalized by the total weight 5. Pure SQL, so the
+    driver's DuckDB oracle checks it value-for-value."""
+    doc = F.col("doc") if doc is None else doc
+    roles = F.col("roles") if roles is None else roles
+    tools = F.col("tools") if tools is None else tools
+    ts_min = F.col("ts_min") if ts_min is None else ts_min
+    ts_max = F.col("ts_max") if ts_max is None else ts_max
+    score = (
+        F.when(F.length(F.trim(doc)) > 0, 2).otherwise(0)
+        + F.when(F.size(roles) > 1, 1).otherwise(0)
+        + F.when(F.size(tools) > 0, 1).otherwise(0)
+        + F.when(ts_max > ts_min, 1).otherwise(0)
+    )
+    return score.cast("double") / 5.0
+
+
 def explode_back(collapsed: DataFrame) -> DataFrame:
     """Inverse of collapse for the integrity check: back to one row per
     turn with the original columns (used by tests and the lineage gate)."""

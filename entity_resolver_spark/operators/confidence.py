@@ -58,6 +58,11 @@ def score_confidence(
         + cfg.w_cohesion * cohesion
         + cfg.w_size_factor * size_factor
     )
+    # reference K10: x0.95 penalty for enriched records (scorer.py:98-141)
+    if "metadata_was_enriched" in records.columns:
+        raw = raw * F.when(F.col("metadata_was_enriched"), F.lit(0.95)).otherwise(
+            F.lit(1.0)
+        )
     conf = F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))
     df = df.withColumn("confidence_score", conf)
 
@@ -71,11 +76,17 @@ def score_confidence(
     # review flags (scorer.py:158-179)
     low_conf = F.col("confidence_score") < cfg.review_threshold
     big_cluster_low_cohesion = (F.col("cluster_size") >= 5) & (cohesion < 0.6)
+    enriched_low = (
+        (F.col("metadata_was_enriched") & (F.col("confidence_score") < 0.8))
+        if "metadata_was_enriched" in records.columns
+        else F.lit(False)
+    )  # reference K11: enriched & conf<0.8 (scorer.py:158-179)
     reasons = F.concat_ws(
         ",",
         F.when(low_conf, F.lit("low_confidence")),
         F.when(big_cluster_low_cohesion, F.lit("low_cohesion_large_cluster")),
+        F.when(enriched_low, F.lit("enriched_low_confidence")),
     )
-    return df.withColumn("needs_review", low_conf | big_cluster_low_cohesion).withColumn(
-        "review_reason", F.when(F.length(reasons) > 0, reasons)
-    )
+    return df.withColumn(
+        "needs_review", low_conf | big_cluster_low_cohesion | enriched_low
+    ).withColumn("review_reason", F.when(F.length(reasons) > 0, reasons))

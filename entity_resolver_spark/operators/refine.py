@@ -264,3 +264,40 @@ def reassign_singletons(
         .withColumn(cluster_col, F.coalesce(F.col("__new"), F.col(cluster_col)))
         .drop("__new")
     )
+
+
+# ---------------------------------------------------------------------------
+# G15 analog: metadata enrichment from the cluster-majority record
+# ---------------------------------------------------------------------------
+
+def enrich_metadata(
+    records: DataFrame, cluster_col: str = "cluster"
+) -> DataFrame:
+    """Fill an EMPTY tools set from the cluster's most frequent
+    non-empty tools set, and flag the rows that were enriched.
+
+    Reference analog: address enrichment fills missing street fields
+    from the cluster-best address when city/state/zip agree, then sets
+    address_was_enriched (refiner.py:328-421); here the 'best' donor is
+    the modal non-empty tools array with deterministic tie-breaks
+    (freq desc, then array lexicographic — reference O14)."""
+    nonempty = records.where(F.size("tools") > 0)
+    freq = nonempty.groupBy(cluster_col, "tools").agg(F.count("*").alias("__f"))
+    w = W.partitionBy(cluster_col).orderBy(
+        F.col("__f").desc(), F.col("tools").asc()
+    )
+    donor = (
+        freq.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(cluster_col, F.col("tools").alias("__donor_tools"))
+    )
+    out = records.join(F.broadcast(donor), cluster_col, "left")
+    enriched = (F.size("tools") == 0) & F.col("__donor_tools").isNotNull()
+    return (
+        out.withColumn("metadata_was_enriched", enriched)
+        .withColumn(
+            "tools",
+            F.when(enriched, F.col("__donor_tools")).otherwise(F.col("tools")),
+        )
+        .drop("__donor_tools")
+    )

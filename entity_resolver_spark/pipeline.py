@@ -29,6 +29,7 @@ from entity_resolver_spark.operators.confidence import cluster_edge_stats, score
 from entity_resolver_spark.operators.normalize import normalize_docs
 from entity_resolver_spark.operators.pairs import edges_from_scores, score_pairs
 from entity_resolver_spark.operators.refine import (
+    enrich_metadata,
     evict_outliers,
     merge_clusters_string,
     merge_clusters_vector,
@@ -197,13 +198,19 @@ class EntityResolverPipeline:
 
         def _final() -> DataFrame:
             with_canon = apply_canonical_map(clustered, canon)
+            if cfg.refinement.enrich_metadata:
+                with_canon = enrich_metadata(with_canon)
+            else:
+                with_canon = with_canon.withColumn(
+                    "metadata_was_enriched", F.lit(False)
+                )
             stats = cluster_edge_stats(edges, labels)
             out = score_confidence(with_canon, stats, cfg.confidence)
             return out.select(
                 "conv_id", "cluster", "norm_text", "canonical_text", "n_turns",
                 "roles", "tools", "ts_min", "ts_max", "cluster_size",
-                "confidence_score", "confidence_category", "needs_review",
-                "review_reason",
+                "metadata_was_enriched", "confidence_score",
+                "confidence_category", "needs_review", "review_reason",
             )
 
         resolved = ckpt.stage("resolved", _final)
