@@ -25,5 +25,11 @@ __version__ = "0.1.0"
 
 from entity_resolver_spark.config import ResolverConfig
 from entity_resolver_spark.pipeline import EntityResolverPipeline
+from entity_resolver_spark.resolver import SparkEntityResolver
 
-__all__ = ["ResolverConfig", "EntityResolverPipeline", "__version__"]
+__all__ = [
+    "ResolverConfig",
+    "EntityResolverPipeline",
+    "SparkEntityResolver",
+    "__version__",
+]

@@ -19,7 +19,6 @@ from entity_resolver_spark.config import ResolverConfig
 from entity_resolver_spark.functions.similarity import sparse_cosine_udf
 from entity_resolver_spark.operators.collapse import collapse_turns
 from entity_resolver_spark.operators.normalize import normalize_docs
-from entity_resolver_spark.operators.refine import _top_slot_keys, cluster_profiles
 from entity_resolver_spark.operators.vectorize import add_tfidf_vectors
 
 
@@ -42,12 +41,16 @@ def assign_new(
         min_length=cfg.normalization.min_length,
         empty_fallback=cfg.normalization.empty_fallback,
     )
-    new_vec = add_tfidf_vectors(
-        normalized, tokens_col="match_tokens", num_features=cfg.scoring.tfidf_num_features
-    )
 
-    # existing state re-vectorized from its canonical texts (state is a
-    # table, not a model; IDF differences wash out after L2+cosine)
+    # existing state re-vectorized from its stored norm_text (state is a
+    # table, not a model). The STATE's document frequencies are the
+    # fitted IDF (reference transform uses fitted vectorizers,
+    # vectorizer.py:188-239): BOTH sides vectorize against this one
+    # table, so an exact duplicate of a known conversation gets the
+    # identical vector (a per-side IDF would degenerate to uniform
+    # weights on a small new batch and prune different top slots).
+    # Unseen tokens drop out, exactly like an OOV token under a fitted
+    # vocabulary.
     state = resolved.select("conv_id", "cluster", F.col("norm_text").alias("doc"))
     state_norm = state.withColumn("norm_text", F.col("doc")).withColumn(
         "match_tokens",
@@ -56,32 +59,59 @@ def assign_new(
                "greatest(size(split(norm_text,' '))-1, 1)), (a,b) -> concat(a,'_',b)), "
                "x -> x is not null)))"),
     )
-    state_vec = add_tfidf_vectors(
-        state_norm, tokens_col="match_tokens", num_features=cfg.scoring.tfidf_num_features
-    )
-    prof = cluster_profiles(state_vec, "cluster")
+    from entity_resolver_spark.operators.vectorize import idf_table
 
-    pkeys = prof.select(
-        F.col("cluster").alias("cand_cluster"), "c_idx", "c_val",
-        F.explode(_top_slot_keys(F.col("c_idx"), F.col("c_val"), 4)).alias("k"),
+    fitted_idf = idf_table(state_norm, "match_tokens").localCheckpoint(eager=True)
+    state_vec = add_tfidf_vectors(
+        state_norm, tokens_col="match_tokens",
+        num_features=cfg.scoring.tfidf_num_features, idf=fitted_idf,
     )
-    nkeys = new_vec.select(
-        "conv_id", "vec_idx", "vec_val",
-        F.explode(_top_slot_keys(F.col("vec_idx"), F.col("vec_val"), 4)).alias("k"),
+    new_vec = add_tfidf_vectors(
+        normalized, tokens_col="match_tokens",
+        num_features=cfg.scoring.tfidf_num_features, idf=fitted_idf,
+    )
+    # candidate generation reuses the SAME blocking channels as fit
+    # (an identical document produces identical det/MinHash keys by
+    # construction, and the rare channel uses the fitted df table on
+    # both sides so "rare" means rare-in-state). Centroid-top-slot
+    # keys were tried first and fail structurally: a perturbed
+    # record's own top slots are its unique max-IDF noise tokens, not
+    # the family-shared slots that dominate the centroid.
+    from entity_resolver_spark.operators.blocking import blocking_keys
+
+    fitted_df = fitted_idf.select("token", "df")
+    skeys = blocking_keys(state_norm, cfg.blocking, "match_tokens", df_table=fitted_df)
+    nkeys = blocking_keys(normalized, cfg.blocking, "match_tokens", df_table=fitted_df)
+    cand = (
+        nkeys.join(
+            skeys.select(
+                F.col("conv_id").alias("member_id"), "block_key"
+            ),
+            "block_key",
+        )
+        .select("conv_id", "member_id")
+        .distinct()
+    )
+    member_vec = state_vec.select(
+        F.col("conv_id").alias("member_id"), "cluster",
+        F.col("vec_idx").alias("m_idx"), F.col("vec_val").alias("m_val"),
     )
     scored = (
-        nkeys.join(pkeys, "k")
-        .dropDuplicates(["conv_id", "cand_cluster"])
+        cand.join(member_vec, "member_id")
+        .join(new_vec.select("conv_id", "vec_idx", "vec_val"), "conv_id")
         .withColumn(
             "cos",
-            sparse_cosine_udf(F.col("vec_idx"), F.col("vec_val"), F.col("c_idx"), F.col("c_val")),
+            sparse_cosine_udf(F.col("vec_idx"), F.col("vec_val"), F.col("m_idx"), F.col("m_val")),
         )
+        # best member per (new record, cluster) = the cluster's score
+        .groupBy("conv_id", "cluster")
+        .agg(F.max("cos").alias("cos"))
     )
-    w = W.partitionBy("conv_id").orderBy(F.col("cos").desc(), F.col("cand_cluster").asc())
+    w = W.partitionBy("conv_id").orderBy(F.col("cos").desc(), F.col("cluster").asc())
     best = (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
-        .select("conv_id", "cand_cluster", F.col("cos").alias("match_cosine"))
+        .select("conv_id", F.col("cluster").alias("cand_cluster"), F.col("cos").alias("match_cosine"))
     )
     return (
         new_vec.select("conv_id")

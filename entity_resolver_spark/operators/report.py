@@ -1,0 +1,89 @@
+"""Reporting (SURVEY §3.3, A13/A15/W3).
+
+Reference: /root/reference/entity_resolver/reporter.py —
+`generate_report` (87-148: unique-before/after, reduction rate,
+cluster-size distribution, review breakdown) and
+`get_review_dataframe` (36-85: deduped original->canonical mapping,
+globally sorted for human review). All plain aggregations here; on a
+real deployment the summary dict is appended to an Iceberg `metrics`
+table per run (the north rule's match-count metrics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def summary_report(resolved: DataFrame) -> dict:
+    """One pass of aggregations -> the reference's report dict."""
+    totals = resolved.agg(
+        F.count("*").alias("total_records"),
+        F.countDistinct("norm_text").alias("unique_before"),
+        F.countDistinct("cluster").alias("unique_after"),
+        F.sum(F.col("needs_review").cast("int")).alias("needs_review"),
+        F.avg("confidence_score").alias("avg_confidence"),
+    ).first()
+    sizes = (
+        resolved.groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.sum((F.col("n") == 1).cast("int")).alias("singletons"),
+            F.sum(((F.col("n") >= 2) & (F.col("n") <= 5)).cast("int")).alias("small_2_5"),
+            F.sum(((F.col("n") >= 6) & (F.col("n") <= 20)).cast("int")).alias("medium_6_20"),
+            F.sum((F.col("n") > 20).cast("int")).alias("large_over_20"),
+            F.max("n").alias("max_cluster_size"),
+        )
+        .first()
+    )
+    # A15: review-reason histogram (reference get_dummies(sep=',').sum())
+    reasons = {
+        r["reason"]: r["n"]
+        for r in (
+            resolved.where(F.col("review_reason").isNotNull())
+            .select(F.explode(F.split("review_reason", ",")).alias("reason"))
+            .groupBy("reason")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    }
+    ub, ua = totals["unique_before"], totals["unique_after"]
+    return {
+        "total_records": totals["total_records"],
+        "unique_before": ub,
+        "unique_after": ua,
+        "reduction_rate": round(1.0 - ua / ub, 6) if ub else 0.0,
+        "avg_confidence": round(float(totals["avg_confidence"] or 0.0), 6),
+        "needs_review": int(totals["needs_review"] or 0),
+        "cluster_sizes": {
+            "singletons": int(sizes["singletons"] or 0),
+            "2-5": int(sizes["small_2_5"] or 0),
+            "6-20": int(sizes["medium_6_20"] or 0),
+            ">20": int(sizes["large_over_20"] or 0),
+            "max": int(sizes["max_cluster_size"] or 0),
+        },
+        "review_reasons": reasons,
+    }
+
+
+def review_dataframe(resolved: DataFrame) -> DataFrame:
+    """W3: the deduped original->canonical mapping, total-ordered for
+    review (reference reporter.py:36-85; dedup via ordered window, not
+    dropDuplicates — determinism O14)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("norm_text", "canonical_text").orderBy(F.col("conv_id").asc())
+    return (
+        resolved.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "norm_text", "canonical_text", "cluster", "cluster_size",
+            "confidence_score", "confidence_category", "needs_review",
+            "review_reason",
+        )
+        .orderBy(
+            F.col("needs_review").desc(),
+            F.col("confidence_score").asc(),
+            F.col("canonical_text").asc(),
+            F.col("norm_text").asc(),
+        )
+    )

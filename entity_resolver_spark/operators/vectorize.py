@@ -117,8 +117,15 @@ def add_tfidf_vectors(
     num_features: int = 1 << 18,
     df_table: DataFrame | None = None,
     top_k: int | None = 128,
+    idf: DataFrame | None = None,
 ) -> DataFrame:
-    """Join hashed TF-IDF sparse vectors back onto the record table."""
-    idf = idf_table(records, tokens_col, df_table=df_table)
+    """Join hashed TF-IDF sparse vectors back onto the record table.
+
+    Pass `idf` to vectorize against a FITTED weight table (the
+    transform/predict path — both sides of a comparison must share one
+    IDF space); otherwise weights derive from `records` (and
+    `df_table` if the document frequencies were already computed)."""
+    if idf is None:
+        idf = idf_table(records, tokens_col, df_table=df_table)
     vec = hashed_tfidf(records, idf, id_col, tokens_col, num_features, top_k=top_k)
     return records.join(vec, id_col, "left")

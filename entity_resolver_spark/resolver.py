@@ -1,0 +1,100 @@
+"""Reference-shaped user API (SURVEY §3; resolver.py:200-326,568-596).
+
+`SparkEntityResolver` mirrors the reference `EntityResolver` surface —
+fit / transform / fit_transform / generate_report /
+get_review_dataframe / save / load — so a user of the reference can
+switch 1:1:
+
+    res = SparkEntityResolver(config)
+    res.fit(spark, turns)                  # resolver.py:200-242
+    out = res.transform(spark, new_turns)  # resolver.py:244-290
+    res.generate_report()                  # resolver.py:568-596
+    res.save(path); SparkEntityResolver.load(spark, path)
+
+The crucial difference from the reference: there is NO pickled model
+state (persistence.py:23-144 pickles encoders + cuml models). The
+fitted state IS the resolved table plus the config — `transform`
+re-derives everything it needs from that table with the same
+operators, which is what makes save/load a plain parquet+YAML round
+trip and the whole thing resumable on a cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from entity_resolver_spark.config import ResolverConfig
+from entity_resolver_spark.pipeline import EntityResolverPipeline
+
+
+class SparkEntityResolver:
+    def __init__(self, config: ResolverConfig | None = None) -> None:
+        self.config = config or ResolverConfig()
+        self.resolved_: DataFrame | None = None
+        self.metrics: list[dict] = []
+
+    # ------------------------------------------------------------------
+    def fit(self, spark: SparkSession, turns: DataFrame) -> "SparkEntityResolver":
+        pipe = EntityResolverPipeline(self.config)
+        self.resolved_ = pipe.resolve(spark, turns)
+        self.metrics = pipe.metrics
+        return self
+
+    def fit_transform(self, spark: SparkSession, turns: DataFrame) -> DataFrame:
+        self.fit(spark, turns)
+        assert self.resolved_ is not None
+        return self.resolved_
+
+    def transform(
+        self, spark: SparkSession, new_turns: DataFrame, assign_floor: float = 0.80
+    ) -> DataFrame:
+        """Incremental assignment of unseen conversations against the
+        fitted state (G16; no refit)."""
+        if self.resolved_ is None:
+            raise RuntimeError("fit (or load) must run before transform")
+        from entity_resolver_spark.operators.predict import assign_new
+
+        return assign_new(
+            spark, self.resolved_, new_turns, self.config, assign_floor=assign_floor
+        )
+
+    # ------------------------------------------------------------------
+    def generate_report(self) -> dict:
+        if self.resolved_ is None:
+            raise RuntimeError("fit must run before generate_report")
+        from entity_resolver_spark.operators.report import summary_report
+
+        return summary_report(self.resolved_)
+
+    def get_review_dataframe(self) -> DataFrame:
+        if self.resolved_ is None:
+            raise RuntimeError("fit must run before get_review_dataframe")
+        from entity_resolver_spark.operators.report import review_dataframe
+
+        return review_dataframe(self.resolved_)
+
+    # ------------------------------------------------------------------
+    # S3: persistence — resolved table as parquet + config as YAML
+    # (reference persistence.py:23-144; its canonical map was already
+    # parquet, persistence.py:141-144)
+    def save(self, path: str) -> None:
+        if self.resolved_ is None:
+            raise RuntimeError("fit must run before save")
+        os.makedirs(path, exist_ok=True)
+        self.resolved_.write.mode("overwrite").parquet(os.path.join(path, "resolved"))
+        self.config.to_yaml(os.path.join(path, "config.yaml"))
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump({"format": 1, "metrics": self.metrics}, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "SparkEntityResolver":
+        obj = cls(ResolverConfig.from_yaml(os.path.join(path, "config.yaml")))
+        obj.resolved_ = spark.read.parquet(os.path.join(path, "resolved"))
+        manifest = os.path.join(path, "manifest.json")
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                obj.metrics = json.load(f).get("metrics", [])
+        return obj
