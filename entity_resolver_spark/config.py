@@ -84,7 +84,7 @@ class ScoringConfig(BaseModel):
     # at 128 because perturbations spread through the whole doc
     lev_prefix_chars: int = 128
     jw_prefix_chars: int = 64             # JW is a prefix-heavy measure anyway
-    tfidf_num_features: int = 1 << 18     # hashed TF-IDF dimension
+    tfidf_num_features: int = 1 << 31     # hashed slot space (join key, not a dense dim)
     # keep only the top-k highest-IDF slots per record (reference
     # analog: vector pruning, utils/similarity.py:213-400) — bounds the
     # pair-scoring payload per record; None disables

@@ -9,8 +9,9 @@ no global factorization, no vocabulary broadcast beyond the small IDF
 table, everything JVM-side:
 
     explode(tokens) -> join IDF table -> slot = pmod(xxhash64(token),D)
-    -> sum weights per (record, slot) -> collect sorted sparse vector
-    -> L2-normalize with SQL aggregate/transform.
+    -> collect sorted sparse vector per record (ONE shuffle; D=2^31 so
+    the slot is effectively a unique join key, no per-slot summing
+    needed) -> L2-normalize with SQL aggregate/transform.
 
 Sparse vectors are carried as two row-aligned arrays (vec_idx sorted
 asc, vec_val) — the DataFrame-native answer to the reference's
@@ -54,7 +55,7 @@ def hashed_tfidf(
     idf: DataFrame,
     id_col: str = "conv_id",
     tokens_col: str = "tokens",
-    num_features: int = 1 << 18,
+    num_features: int = 1 << 31,
     top_k: int | None = 128,
 ) -> DataFrame:
     """-> (id_col, vec_idx array<bigint> sorted, vec_val array<double>),
@@ -68,10 +69,16 @@ def hashed_tfidf(
     pair-scoring payload ~2-3x, which is what the scoring stage's cost
     scales with."""
     exploded = records.select(id_col, F.explode(tokens_col).alias("token"))
-    weighted = exploded.join(idf.select("token", "idf"), "token").withColumn(
-        "slot", F.pmod(F.xxhash64("token"), F.lit(num_features))
+    weighted = exploded.join(idf.select("token", "idf"), "token").select(
+        id_col,
+        F.pmod(F.xxhash64("token"), F.lit(num_features)).alias("slot"),
+        F.col("idf").alias("w"),
     )
-    by_slot = weighted.groupBy(id_col, "slot").agg(F.sum("idf").alias("w"))
+    # no per-(id, slot) pre-aggregation: tokens are distinct per record,
+    # so duplicate slots only arise from hash collisions (~1e-5 per
+    # record at the 2^31 default space), which the cosine kernels
+    # tolerate; skipping it halves the shuffle volume of this stage
+    # (the exploded table crosses the wire once, not twice)
     sv = F.array_sort(F.collect_list(F.struct("slot", "w")))
     if top_k is not None:
         # keep top_k by weight (ties to smaller slot — deterministic,
@@ -86,7 +93,7 @@ def hashed_tfidf(
         )
         sv = F.array_sort(F.slice(by_weight, 1, top_k))
     vec = (
-        by_slot.groupBy(id_col)
+        weighted.groupBy(id_col)
         .agg(sv.alias("sv"))
         .withColumn(
             "norm",
@@ -114,7 +121,7 @@ def add_tfidf_vectors(
     records: DataFrame,
     id_col: str = "conv_id",
     tokens_col: str = "tokens",
-    num_features: int = 1 << 18,
+    num_features: int = 1 << 31,
     df_table: DataFrame | None = None,
     top_k: int | None = 128,
     idf: DataFrame | None = None,
