@@ -486,7 +486,7 @@ def oracle_sql() -> dict[str, str]:
             {t_cte}
             SELECT conv_id,
                    count(*) AS n_turns,
-                   sum(length(text) * (turn_idx + 1)) AS chk
+                   CAST(sum(length(text) * (turn_idx + 1)) AS BIGINT) AS chk
             FROM t GROUP BY conv_id
         """,
         "blocking_key": f"""
@@ -700,7 +700,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT user_id,
-                   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+                   CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id
         """,

@@ -150,6 +150,18 @@ class ConfidenceConfig(BaseModel):
     buckets: tuple[float, ...] = (0.0, 0.5, 0.7, 0.85, 1.0)
     categories: tuple[str, ...] = ("Low", "Medium", "High", "Very High")
     review_threshold: float = 0.75        # scorer.py:158-179
+    # name-change penalty stack (reference scorer.py:115-129):
+    # change_magnitude = 1 - sim(norm_text, canonical_text)
+    name_change_floor: float = 0.5        # change above this -> x0.9
+    name_change_penalty: float = 0.9
+    small_cluster_change_floor: float = 0.7  # size<=2 & change above -> x0.85
+    small_cluster_penalty: float = 0.85
+    # review flags (reference scorer.py:160-168)
+    drastic_change_floor: float = 0.7     # drastic_name_change flag
+    singleton_change_floor: float = 0.01  # singleton_name_change flag
+    # prefix cap for the levenshtein-based change magnitude (transcript
+    # docs are long; the DP is O(cap^2) per row)
+    change_prefix_chars: int = 128
 
 
 class OutputConfig(BaseModel):

@@ -19,12 +19,18 @@ expressions (no shuffle for signatures, no Python):
 
 Skew handling (north rule, explicit):
   * stop-key filter: any key covering > stop_key_fraction of records
-    is dropped (reference analog: TF-IDF max_df, schema.py:583-585);
-  * block-size cap: blocks larger than max_block_size are dropped and
-    COUNTED in the returned metrics (reference analog:
-    max_pairs_per_chunk, schema.py:1534-1540) — at 100TB a block that
-    big is a degenerate key, not signal;
-  * pair dedup across channels via distinct on (a, b).
+    is dropped (reference analog: TF-IDF max_df, schema.py:583-585) —
+    at 100TB a key that big is a degenerate token, not signal;
+  * salted splitting of oversized blocks: keys with max_block_size <
+    size <= stop_n are NOT dropped — members are re-keyed into
+    ceil(size / max_block_size) deterministic salted sub-blocks
+    (pmod(xxhash64(conv_id), n_salt)), and each sub-block's min-hash
+    representative also joins the next sub-block (ring linking), so a
+    legitimate large duplicate family stays connected through
+    components while pair count drops from O(size^2) to
+    O(size * max_block_size). Reference analog: chunked pairing
+    (config/schema.py:1534-1540), which likewise never drops;
+  * pair dedup across channels via groupBy on (a, b).
 """
 
 from __future__ import annotations
@@ -144,8 +150,11 @@ def candidate_pairs(
 ) -> tuple[DataFrame, DataFrame]:
     """-> (pairs(conv_a, conv_b, n_shared_keys), block_metrics).
 
-    block_metrics(block_key, block_size, status in {'ok','capped','stop'})
-    is the per-stage lineage the north rule asks for.
+    block_metrics(block_key, block_size, status in {'ok','salted','stop'})
+    is the per-stage lineage the north rule asks for. 'salted' blocks
+    (max_block_size < size <= stop_n) still produce pairs — members are
+    split into deterministic salted sub-blocks with ring-linked
+    representatives (see module docstring); only 'stop' keys drop.
     """
     # keys feeds two consumers (the size aggregation and the pair
     # self-join) — materialize once or the whole signature/rare-token
@@ -161,7 +170,7 @@ def candidate_pairs(
     metrics = sizes.withColumn(
         "status",
         F.when(F.col("block_size") > stop_n, F.lit("stop"))
-        .when(F.col("block_size") > cfg.max_block_size, F.lit("capped"))
+        .when(F.col("block_size") > cfg.max_block_size, F.lit("salted"))
         .otherwise(F.lit("ok")),
     )
     ok_keys = metrics.where(
@@ -170,7 +179,45 @@ def candidate_pairs(
 
     # keep only usable keys, then block-local self-join; broadcast the
     # key filter only if small — Catalyst/AQE decides via stats
-    k = keys.join(ok_keys, "block_key")
+    k = keys.join(ok_keys, "block_key").select("block_key", "conv_id")
+
+    # salted splitting of oversized (but non-degenerate) blocks: re-key
+    # members into n_salt = ceil(size / max_block_size) sub-blocks via a
+    # deterministic hash, then ring-link sub-blocks through each one's
+    # min-hash representative so the family stays one component. Pair
+    # cost becomes O(size * max_block_size) instead of O(size^2).
+    salted_meta = metrics.where(F.col("status") == "salted").select(
+        "block_key", "block_size"
+    )
+    ck = (
+        keys.join(salted_meta, "block_key")
+        .withColumn(
+            "n_salt",
+            F.ceil(F.col("block_size") / F.lit(cfg.max_block_size)).cast("int"),
+        )
+        .withColumn("salt", F.pmod(F.xxhash64("conv_id"), F.col("n_salt")).cast("int"))
+    )
+    sub = ck.select(
+        F.concat_ws("#", "block_key", F.col("salt").cast("string")).alias("block_key"),
+        "conv_id",
+    )
+    ring = W.partitionBy("block_key", "salt").orderBy(
+        F.xxhash64("conv_id").asc(), F.col("conv_id").asc()
+    )
+    link = (
+        ck.withColumn("rk", F.row_number().over(ring))
+        .where(F.col("rk") == 1)
+        .select(
+            F.concat_ws(
+                "#",
+                "block_key",
+                F.pmod(F.col("salt") + 1, F.col("n_salt")).cast("string"),
+            ).alias("block_key"),
+            "conv_id",
+        )
+    )
+    k = k.unionByName(sub).unionByName(link)
+
     a = k.select(F.col("block_key"), F.col("conv_id").alias("conv_a"))
     b = k.select(F.col("block_key"), F.col("conv_id").alias("conv_b"))
     pairs = (

@@ -38,13 +38,30 @@ def score_confidence(
 ) -> DataFrame:
     """Attach confidence_score, confidence_category, needs_review,
     review_reason (reference K10/K11 weights re-expressed over edge
-    statistics)."""
+    statistics, including the name-change penalty stack of
+    scorer.py:115-129 and the drastic/singleton review flags of
+    scorer.py:160-168)."""
     sizes = records.groupBy(cluster_col).agg(F.count("*").alias("cluster_size"))
     df = (
         records.join(sizes, cluster_col)
         .join(edge_stats.withColumnRenamed("cluster", cluster_col), cluster_col, "left")
         .fillna({"n_edges": 0, "avg_edge_score": 0.0, "std_edge_score": 0.0})
     )
+
+    # change_magnitude = 1 - sim(original normalized text, canonical
+    # text) (reference scorer.py:116-119, TF-IDF sim there; normalized
+    # prefix-capped Levenshtein here — pure JVM codegen, no Python).
+    has_change = "norm_text" in records.columns and "canonical_text" in records.columns
+    if has_change:
+        a = F.substring(F.col("norm_text"), 1, cfg.change_prefix_chars)
+        b = F.substring(F.col("canonical_text"), 1, cfg.change_prefix_chars)
+        change = (
+            F.levenshtein(a, b)
+            / F.greatest(F.length(a), F.length(b), F.lit(1))
+        ).cast("double")
+    else:
+        change = F.lit(0.0)
+    df = df.withColumn("_change_magnitude", change)
     # singletons: fully confident in themselves (no merge risk)
     avg_s = F.when(F.col("cluster_size") == 1, F.lit(1.0)).otherwise(F.col("avg_edge_score"))
     cohesion = F.when(F.col("cluster_size") == 1, F.lit(1.0)).otherwise(
@@ -58,11 +75,21 @@ def score_confidence(
         + cfg.w_cohesion * cohesion
         + cfg.w_size_factor * size_factor
     )
-    # reference K10: x0.95 penalty for enriched records (scorer.py:98-141)
+    # penalty stack (reference scorer.py:115-129, applied in order):
+    # x0.9 for a significant name change; x0.95 for enriched metadata;
+    # x0.85 for small clusters with drastic changes.
+    cm = F.col("_change_magnitude")
+    raw = raw * F.when(
+        cm > cfg.name_change_floor, F.lit(cfg.name_change_penalty)
+    ).otherwise(F.lit(1.0))
     if "metadata_was_enriched" in records.columns:
         raw = raw * F.when(F.col("metadata_was_enriched"), F.lit(0.95)).otherwise(
             F.lit(1.0)
         )
+    raw = raw * F.when(
+        (F.col("cluster_size") <= 2) & (cm > cfg.small_cluster_change_floor),
+        F.lit(cfg.small_cluster_penalty),
+    ).otherwise(F.lit(1.0))
     conf = F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))
     df = df.withColumn("confidence_score", conf)
 
@@ -73,9 +100,15 @@ def score_confidence(
     cat = cat.otherwise(cfg.categories[-1])
     df = df.withColumn("confidence_category", cat)
 
-    # review flags (scorer.py:158-179)
+    # review flags (scorer.py:158-179): low_confidence,
+    # drastic_name_change, singleton_name_change, enriched_low_confidence,
+    # plus the repo's own low_cohesion_large_cluster heuristic.
     low_conf = F.col("confidence_score") < cfg.review_threshold
     big_cluster_low_cohesion = (F.col("cluster_size") >= 5) & (cohesion < 0.6)
+    drastic_change = cm > cfg.drastic_change_floor
+    singleton_change = (F.col("cluster_size") == 1) & (
+        cm > cfg.singleton_change_floor
+    )
     enriched_low = (
         (F.col("metadata_was_enriched") & (F.col("confidence_score") < 0.8))
         if "metadata_was_enriched" in records.columns
@@ -84,9 +117,20 @@ def score_confidence(
     reasons = F.concat_ws(
         ",",
         F.when(low_conf, F.lit("low_confidence")),
+        F.when(drastic_change, F.lit("drastic_name_change")),
+        F.when(singleton_change, F.lit("singleton_name_change")),
         F.when(big_cluster_low_cohesion, F.lit("low_cohesion_large_cluster")),
         F.when(enriched_low, F.lit("enriched_low_confidence")),
     )
-    return df.withColumn(
-        "needs_review", low_conf | big_cluster_low_cohesion | enriched_low
-    ).withColumn("review_reason", F.when(F.length(reasons) > 0, reasons))
+    return (
+        df.withColumn(
+            "needs_review",
+            low_conf
+            | drastic_change
+            | singleton_change
+            | big_cluster_low_cohesion
+            | enriched_low,
+        )
+        .withColumn("review_reason", F.when(F.length(reasons) > 0, reasons))
+        .drop("_change_magnitude")
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from entity_resolver_spark.operators.components import connected_components
 
@@ -60,6 +61,43 @@ def q2_violations(records: DataFrame, name_col: str = "canonical_text", meta_col
         records.groupBy(name_col)
         .agg(F.countDistinct(F.coalesce(F.col(meta_col), F.lit("∅"))).alias("n_meta"))
         .where(F.col("n_meta") > 1)
+    )
+
+
+def enforce_canonical_fd(
+    records: DataFrame, name_col: str = "canonical_text", cluster_col: str = "cluster"
+) -> DataFrame:
+    """Q2 repair: make canonical_text -> cluster a functional dependency.
+
+    canonical_by_frequency/centrality picks per cluster, so two distinct
+    clusters CAN converge to the same canonical text (reference gate:
+    utils/validation.py:124-161, invoked resolver.py:475). Deterministic
+    tiebreak: rank the offending clusters by min member conv_id and
+    suffix every cluster after the first with ' #<rank>' (A14 chain
+    numbering) — the first keeps the unmodified canonical text. Cost is
+    one agg over (name, cluster) pairs, tiny vs the record table."""
+    pairs = records.groupBy(name_col, cluster_col).agg(
+        F.min("conv_id").alias("__min_id")
+    )
+    ranked = pairs.withColumn(
+        "__rank",
+        F.row_number().over(
+            W.partitionBy(name_col).orderBy(F.col("__min_id").asc(), F.col(cluster_col).asc())
+        ),
+    )
+    fix = ranked.where(F.col("__rank") > 1).select(
+        name_col,
+        cluster_col,
+        F.concat(F.col(name_col), F.lit(" #"), F.col("__rank").cast("string")).alias(
+            "__fixed_name"
+        ),
+    )
+    if fix.isEmpty():
+        return records
+    return (
+        records.join(fix, [name_col, cluster_col], "left")
+        .withColumn(name_col, F.coalesce(F.col("__fixed_name"), F.col(name_col)))
+        .drop("__fixed_name")
     )
 
 

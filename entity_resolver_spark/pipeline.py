@@ -37,7 +37,9 @@ from entity_resolver_spark.operators.refine import (
 )
 from entity_resolver_spark.operators.validate import (
     consolidate_identical,
+    enforce_canonical_fd,
     q1_violations,
+    q2_violations,
     split_on_metadata,
 )
 from entity_resolver_spark.operators.vectorize import add_tfidf_vectors, token_df
@@ -89,7 +91,10 @@ class EntityResolverPipeline:
         token_stats = ckpt.stage(
             "token_stats", lambda: token_df(normalized, "match_tokens")
         )
-        if ckpt.metrics[-1]["rows"] < 10_000_000:
+        # ~30 bytes/row of (token, df) -> 2M rows ≈ 60MB, just under the
+        # session's 64MB autoBroadcast ceiling; beyond that the shuffle
+        # join is the right plan
+        if ckpt.metrics[-1]["rows"] < 2_000_000:
             token_stats = F.broadcast(token_stats)
 
         def _pairs() -> DataFrame:
@@ -198,13 +203,25 @@ class EntityResolverPipeline:
 
         def _final() -> DataFrame:
             with_canon = apply_canonical_map(clustered, canon)
+            if cfg.validation.enforce_unique_entity:
+                # Q2 repair + gate (reference resolver.py:475): two
+                # clusters may converge to one canonical text
+                with_canon = enforce_canonical_fd(with_canon)
             if cfg.refinement.enrich_metadata:
                 with_canon = enrich_metadata(with_canon)
             else:
                 with_canon = with_canon.withColumn(
                     "metadata_was_enriched", F.lit(False)
                 )
-            stats = cluster_edge_stats(edges, labels)
+            # edge stats must aggregate by the FINAL labels, not the raw
+            # component ids — refinement merges/splits/reassigns change
+            # membership, and stats keyed on stale ids either attach to
+            # nothing (split '<id>#t' clusters) or only to the surviving
+            # half of a merge
+            final_labels = clustered.select(
+                F.col("conv_id").alias("node"), F.col("cluster").alias("component")
+            )
+            stats = cluster_edge_stats(edges, final_labels)
             out = score_confidence(with_canon, stats, cfg.confidence)
             return out.select(
                 "conv_id", "cluster", "norm_text", "canonical_text", "n_turns",
@@ -215,11 +232,16 @@ class EntityResolverPipeline:
 
         resolved = ckpt.stage("resolved", _final)
 
-        # Q1 gate (hard assert, reference resolver.py:452)
+        # Q1 + Q2 gates (hard asserts, reference resolver.py:452,475)
         if cfg.validation.enforce_unique_entity:
             n_bad = q1_violations(resolved).count()
             if n_bad:
                 raise AssertionError(f"Q1 violated: {n_bad} keys in multiple clusters")
+            n_q2 = q2_violations(resolved).count()
+            if n_q2:
+                raise AssertionError(
+                    f"Q2 violated: {n_q2} canonical texts map to multiple clusters"
+                )
 
         self.metrics = ckpt.metrics
         return resolved

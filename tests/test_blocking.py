@@ -66,7 +66,38 @@ def test_block_metrics_statuses(spark, corpus):
     recs = _records(spark, corpus)
     _, metrics = candidate_pairs(recs, BlockingConfig())
     statuses = {r["status"] for r in metrics.select("status").distinct().collect()}
-    assert statuses <= {"ok", "capped", "stop"}
+    assert statuses <= {"ok", "salted", "stop"}
+
+
+def test_oversized_block_is_salted_not_dropped(spark):
+    """A 60-member duplicate family reachable only through one oversized
+    key must still produce pairs (salt-split, VERDICT r1 #2) AND stay one
+    connected component via ring-linked sub-blocks — with far fewer than
+    the all-pairs 60*59/2 edges."""
+    # same doc -> identical det/lsh/rare keys -> one block of 60 > cap 20
+    rows = [(f"f{i:03d}", "shared case number alpha bravo charlie delta") for i in range(60)]
+    # filler so the family block stays under the stop-key fraction
+    rows += [(f"z{i:03d}", f"unrelated{i} filler{i} topic{i} words{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "conv_id string, doc string")
+    recs = normalize_docs(df)
+    cfg = BlockingConfig(max_block_size=20, stop_key_fraction=0.99)
+    pairs, metrics = candidate_pairs(recs, cfg)
+    assert metrics.where("status = 'salted'").count() > 0
+    got = [(r["conv_a"], r["conv_b"]) for r in pairs.collect()]
+    assert len(got) > 0, "salted blocks must produce pairs"
+    assert len(got) < 60 * 59 // 2, "salting must bound the quadratic blowup"
+    # union-find: all 60 members form ONE component over the pairs
+    parent = {f"f{i:03d}": f"f{i:03d}" for i in range(60)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in got:
+        parent[find(a)] = find(b)
+    assert len({find(m) for m in parent}) == 1, "family split by salting"
 
 
 def test_keys_are_deterministic(spark, corpus):

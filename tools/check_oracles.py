@@ -66,15 +66,24 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
             failures += 1
             continue
-        # align dtypes (int64 vs int32 etc.)
+        # The driver's value-hash is dtype-sensitive (int64 vs float64 differ),
+        # so a dtype mismatch is a FAILURE here, not something to paper over.
+        # Spark int32 vs DuckDB int64 is the one benign width difference we
+        # allow (both hash as integers after the driver's normalization).
+        dtype_fail = False
         for c in a.columns:
-            if a[c].dtype != b[c].dtype:
-                try:
-                    a[c] = a[c].astype("float64")
-                    b[c] = b[c].astype("float64")
-                except (ValueError, TypeError):
-                    a[c] = a[c].astype(str)
-                    b[c] = b[c].astype(str)
+            da, db = str(a[c].dtype), str(b[c].dtype)
+            if da == db:
+                continue
+            if da.startswith("int") and db.startswith("int"):
+                a[c] = a[c].astype("int64")
+                b[c] = b[c].astype("int64")
+                continue
+            print(f"FAIL {name}: dtype mismatch col={c} spark={da} oracle={db}")
+            dtype_fail = True
+        if dtype_fail:
+            failures += 1
+            continue
         a = a.sort_values(by=list(a.columns), ignore_index=True)
         b = b.sort_values(by=list(b.columns), ignore_index=True)
         neq = (a != b) & ~(a.isna() & b.isna())
