@@ -5,8 +5,8 @@ mid-run).
 Storage: parquet directories + a JSON manifest per stage. On a real
 cluster with an Iceberg catalog this writes `writeTo(table).replace()`
 instead — the layout (stage table + manifest/metrics row) is identical;
-parquet is used here because the sandbox has no Iceberg jars (gated in
-sources/io.py). Reference analog: model/canonical-map persistence,
+parquet is used here because the sandbox has no Iceberg jars.
+Reference analog: model/canonical-map persistence,
 /root/reference/entity_resolver/persistence.py:23-144 (already parquet
 for the canonical map, persistence.py:141-144).
 

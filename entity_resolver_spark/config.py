@@ -9,7 +9,7 @@ everywhere) without porting its GPU-specific knobs.
 
 from __future__ import annotations
 
-from pydantic import BaseModel, ConfigDict, Field
+from pydantic import BaseModel, ConfigDict, Field, model_validator
 
 
 class ColumnsConfig(BaseModel):
@@ -26,7 +26,13 @@ class ColumnsConfig(BaseModel):
 
 
 class NormalizationConfig(BaseModel):
-    """Text normalization (reference: normalizer.py:212-415)."""
+    """Text normalization (reference: normalizer.py:212-415).
+
+    lowercase / strip_punctuation / collapse_whitespace mirror the
+    reference's knobs but the Spark chain is fixed (one fused pass) —
+    setting any to False raises rather than silently no-op'ing.
+    Iterative suffix removal (P5) lives in functions/entity_names.py
+    with its pass count there (SUFFIX_PASSES)."""
 
     model_config = ConfigDict(extra="forbid")
 
@@ -36,8 +42,17 @@ class NormalizationConfig(BaseModel):
     collapse_whitespace: bool = True
     min_length: int = 2  # below this, fall back to minimal normalization
     empty_fallback: str = "unknown_entity"
-    # iterative suffix removal passes (reference: normalizer.py:320-337)
-    suffix_passes: int = 3
+
+    @model_validator(mode="after")
+    def _fixed_chain(self) -> "NormalizationConfig":
+        for knob in ("lowercase", "strip_punctuation", "collapse_whitespace"):
+            if not getattr(self, knob):
+                raise ValueError(
+                    f"normalization.{knob}=False is not supported: the "
+                    "normalization chain is a single fused pass (only nfkc "
+                    "is independently switchable)"
+                )
+        return self
 
 
 class BlockingConfig(BaseModel):
@@ -60,13 +75,21 @@ class BlockingConfig(BaseModel):
     # pair count explode quadratically)
     rare_tokens_per_record: int = 5
     rare_max_df: int = 20
-    # skew control (reference analog: max_pairs_per_chunk schema.py:1534-1540)
-    max_block_size: int = 200    # records per block before salting/cap
-    max_pairs_per_block: int = 20_000
+    # skew control (reference analog: max_pairs_per_chunk schema.py:1534-1540).
+    # max_block_size bounds pairs-per-sub-block at max^2/2 by construction
+    # (oversized blocks are salt-split), so no separate pair cap exists
+    max_block_size: int = 200    # records per block before salted splitting
     # stop-key filter: drop blocking keys shared by more than this fraction
     # of records (reference analog: tfidf max_df=0.99, schema.py:583-585)
     stop_key_fraction: float = 0.2
     min_tokens: int = 1
+    # C5 phonetic channel (reference runs a phonetic stream in every
+    # fit, context_vectorizer.py:387-443): ordered metaphone codes of
+    # the first phonetic_max_words words as one signature key — typo
+    # families whose tokens/bigrams all shift still collide when the
+    # misspellings are phonetic
+    phonetic: bool = True
+    phonetic_max_words: int = 10
 
 
 class ScoringConfig(BaseModel):
@@ -89,6 +112,8 @@ class ScoringConfig(BaseModel):
     # analog: vector pruning, utils/similarity.py:213-400) — bounds the
     # pair-scoring payload per record; None disables
     vector_top_k: int | None = 128
+    # tokens must appear in >= this many docs to get TF-IDF weight
+    # (reference min_df, schema.py:583-585); 1 = keep all
     tfidf_min_df: int = 1
 
 
@@ -117,6 +142,15 @@ class RefinementConfig(BaseModel):
     reassign_singletons: bool = True
     assign_floor: float = 0.80
     assign_ratio_floor: float = 1.25
+    # K9 weighted reassignment score (reference validator.py:1428-1436,
+    # weights schema.py:1436-1477 — name 0.40 + addr 0.40 collapse into
+    # one fused cosine 0.80; size 0.10; avg membership quality 0.10)
+    assign_w_cosine: float = 0.80
+    assign_w_size: float = 0.10
+    assign_w_avg_score: float = 0.10
+    assign_soft_penalty: float = 0.15     # soft_threshold_penalty analog
+    assign_min_viable: float = 0.20       # minimum_viable_score (validator.py:1443)
+    assign_score_margin: float = 0.05     # weighted-score near-tie separation
 
     merge_vector: bool = True
     merge_centroid_cosine_floor: float = 0.80
@@ -172,8 +206,10 @@ class OutputConfig(BaseModel):
 
 
 class ResolverConfig(BaseModel):
-    """Top-level config; one global seed propagated to every sampling site
-    (reference: config/schema.py:1738-1766)."""
+    """Top-level config. The reference propagates one global random seed
+    to every sampling site (config/schema.py:1738-1766); this pipeline
+    has NO sampling sites — every stage is deterministic by construction
+    (hash-derived keys, window-ordered survivors) — so no seed exists."""
 
     model_config = ConfigDict(extra="forbid")
 
@@ -186,7 +222,6 @@ class ResolverConfig(BaseModel):
     validation: ValidationConfig = Field(default_factory=ValidationConfig)
     confidence: ConfidenceConfig = Field(default_factory=ConfidenceConfig)
     output: OutputConfig = Field(default_factory=OutputConfig)
-    random_seed: int = 42
 
     # S4: YAML config I/O (reference config/loader.py:69-95 load,
     # 128-157 save — pydantic-validated round trip, strict extra=forbid)

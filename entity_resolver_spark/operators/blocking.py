@@ -122,6 +122,24 @@ def blocking_keys(
             "conv_id", F.col("tokens").alias("tokens")
         ).where(F.size("tokens") >= cfg.min_tokens)
         out = out.unionByName(_rare_token_keys(uni, "ru:", cfg))
+
+    # C5: phonetic prefix signature (reference phonetic stream,
+    # context_vectorizer.py:387-443) — ordered metaphone codes of the
+    # first N words; catches typo families whose every token shifted
+    # (no shared rare token, churned bigrams) as long as the
+    # misspellings sound alike
+    if cfg.phonetic and "norm_text" in records.columns:
+        from entity_resolver_spark.functions.phonetics import make_metaphone_udf
+
+        ph = records.select(
+            "conv_id",
+            make_metaphone_udf(cfg.phonetic_max_words)(F.col("norm_text")).alias("__ph"),
+        )
+        c5 = ph.where(F.size("__ph") >= 1).select(
+            "conv_id",
+            F.concat(F.lit("ph:"), F.concat_ws("-", F.col("__ph"))).alias("block_key"),
+        )
+        out = out.unionByName(c5)
     return out
 
 

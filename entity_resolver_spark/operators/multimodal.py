@@ -9,6 +9,7 @@ partitioning, UDF signature, batch shape — is real and tested).
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -94,8 +95,10 @@ def extract_features(
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    # crc32 is process-stable (builtin hash() is siphash-
+                    # salted per interpreter -> useless as a fingerprint)
                     "payload_hash": [
-                        int(np.uint64(hash(bytes(p))) >> np.uint64(1)) if p is not None else 0
+                        zlib.crc32(bytes(p)) if p is not None else 0
                         for p in pdf["payload"]
                     ],
                     "features": feats,

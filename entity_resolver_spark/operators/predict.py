@@ -22,17 +22,61 @@ from entity_resolver_spark.operators.normalize import normalize_docs
 from entity_resolver_spark.operators.vectorize import add_tfidf_vectors
 
 
+def derive_fitted_state(
+    resolved: DataFrame, config: ResolverConfig | None = None
+) -> dict[str, DataFrame]:
+    """Build the transform-side fitted state ONCE from the resolved
+    table: the fitted IDF, the state blocking keys, and the state
+    member vectors (reference analog: fitted vectorizers/encoders,
+    vectorizer.py:188-239; here the 'model' is three tables).
+
+    r1 re-derived all of this inside every assign_new call — O(state)
+    work per transform batch. Calling this at fit/save time and passing
+    the result to assign_new makes each transform touch only batch-sized
+    data plus these precomputed tables."""
+    cfg = config or ResolverConfig()
+    from entity_resolver_spark.operators.blocking import blocking_keys
+    from entity_resolver_spark.operators.vectorize import idf_table
+
+    # state re-tokenized from its stored norm_text (state is a table,
+    # not a model): unigrams + bigrams, exactly like normalize_docs
+    state_norm = resolved.select(
+        "conv_id", "cluster", "norm_text"
+    ).withColumn(
+        "match_tokens",
+        F.expr("array_distinct(concat(split(norm_text, ' '), "
+               "filter(zip_with(split(norm_text,' '), slice(split(norm_text,' '), 2, "
+               "greatest(size(split(norm_text,' '))-1, 1)), (a,b) -> concat(a,'_',b)), "
+               "x -> x is not null)))"),
+    )
+    fitted_idf = idf_table(state_norm, "match_tokens").localCheckpoint(eager=True)
+    state_vec = add_tfidf_vectors(
+        state_norm, tokens_col="match_tokens",
+        num_features=cfg.scoring.tfidf_num_features, idf=fitted_idf,
+    ).select("conv_id", "cluster", "vec_idx", "vec_val")
+    skeys = blocking_keys(
+        state_norm, cfg.blocking, "match_tokens",
+        df_table=fitted_idf.select("token", "df"),
+    )
+    return {"idf": fitted_idf, "state_keys": skeys, "state_vec": state_vec}
+
+
 def assign_new(
     spark: SparkSession,
     resolved: DataFrame,
     new_turns: DataFrame,
     config: ResolverConfig | None = None,
     assign_floor: float = 0.80,
+    fitted: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """resolved: output of EntityResolverPipeline.resolve (must carry
     conv_id, cluster, norm_text). new_turns: transcript rows for unseen
     conversations. Returns (conv_id, cluster, assigned boolean,
-    match_cosine) for the new conversations."""
+    match_cosine) for the new conversations.
+
+    Pass `fitted` (from derive_fitted_state, possibly reloaded from a
+    save() directory) so repeated transform batches skip the O(state)
+    re-derivation; omitted, it is derived here (one-shot path)."""
     cfg = config or ResolverConfig()
 
     collapsed = collapse_turns(new_turns).drop("turns")
@@ -42,30 +86,16 @@ def assign_new(
         empty_fallback=cfg.normalization.empty_fallback,
     )
 
-    # existing state re-vectorized from its stored norm_text (state is a
-    # table, not a model). The STATE's document frequencies are the
-    # fitted IDF (reference transform uses fitted vectorizers,
-    # vectorizer.py:188-239): BOTH sides vectorize against this one
-    # table, so an exact duplicate of a known conversation gets the
-    # identical vector (a per-side IDF would degenerate to uniform
-    # weights on a small new batch and prune different top slots).
-    # Unseen tokens drop out, exactly like an OOV token under a fitted
-    # vocabulary.
-    state = resolved.select("conv_id", "cluster", F.col("norm_text").alias("doc"))
-    state_norm = state.withColumn("norm_text", F.col("doc")).withColumn(
-        "match_tokens",
-        F.expr("array_distinct(concat(split(norm_text, ' '), "
-               "filter(zip_with(split(norm_text,' '), slice(split(norm_text,' '), 2, "
-               "greatest(size(split(norm_text,' '))-1, 1)), (a,b) -> concat(a,'_',b)), "
-               "x -> x is not null)))"),
-    )
-    from entity_resolver_spark.operators.vectorize import idf_table
-
-    fitted_idf = idf_table(state_norm, "match_tokens").localCheckpoint(eager=True)
-    state_vec = add_tfidf_vectors(
-        state_norm, tokens_col="match_tokens",
-        num_features=cfg.scoring.tfidf_num_features, idf=fitted_idf,
-    )
+    # The STATE's document frequencies are the fitted IDF (reference
+    # transform uses fitted vectorizers, vectorizer.py:188-239): BOTH
+    # sides vectorize against this one table, so an exact duplicate of
+    # a known conversation gets the identical vector (a per-side IDF
+    # would degenerate to uniform weights on a small new batch and
+    # prune different top slots). Unseen tokens drop out, exactly like
+    # an OOV token under a fitted vocabulary.
+    if fitted is None:
+        fitted = derive_fitted_state(resolved, cfg)
+    fitted_idf = fitted["idf"]
     new_vec = add_tfidf_vectors(
         normalized, tokens_col="match_tokens",
         num_features=cfg.scoring.tfidf_num_features, idf=fitted_idf,
@@ -79,12 +109,13 @@ def assign_new(
     # the family-shared slots that dominate the centroid.
     from entity_resolver_spark.operators.blocking import blocking_keys
 
-    fitted_df = fitted_idf.select("token", "df")
-    skeys = blocking_keys(state_norm, cfg.blocking, "match_tokens", df_table=fitted_df)
-    nkeys = blocking_keys(normalized, cfg.blocking, "match_tokens", df_table=fitted_df)
+    nkeys = blocking_keys(
+        normalized, cfg.blocking, "match_tokens",
+        df_table=fitted_idf.select("token", "df"),
+    )
     cand = (
         nkeys.join(
-            skeys.select(
+            fitted["state_keys"].select(
                 F.col("conv_id").alias("member_id"), "block_key"
             ),
             "block_key",
@@ -92,7 +123,7 @@ def assign_new(
         .select("conv_id", "member_id")
         .distinct()
     )
-    member_vec = state_vec.select(
+    member_vec = fitted["state_vec"].select(
         F.col("conv_id").alias("member_id"), "cluster",
         F.col("vec_idx").alias("m_idx"), F.col("vec_val").alias("m_val"),
     )

@@ -214,12 +214,31 @@ def reassign_singletons(
     cluster_col: str = "cluster",
     assign_floor: float = 0.80,
     ratio_floor: float = 1.25,
+    w_cosine: float = 0.80,
+    w_size: float = 0.10,
+    w_avg_score: float = 0.10,
+    soft_penalty: float = 0.15,
+    min_viable: float = 0.2,
+    score_margin: float = 0.05,
 ) -> DataFrame:
-    """Second-pass attachment: singleton records are scored against the
-    centroids of multi-member clusters that share a top-slot blocking
-    key; attach when best cosine >= assign_floor AND best/second-best
-    >= ratio_floor (the reference's ratio + strength test,
-    utils/clustering.py:31-260)."""
+    """Second-pass attachment of singletons against multi-member cluster
+    centroids sharing a top-slot blocking key.
+
+    Reference K9 scoring (validator.py:1388-1472, weights
+    config/schema.py:1436-1477): candidates are ranked by a weighted
+    match score — soft-penalized similarity (below-floor candidates are
+    penalized, not eliminated) + log-scaled cluster size + average
+    cluster membership quality — filtered by a minimum-viable floor.
+    The reference's name(0.40)+address(0.40) similarity terms collapse
+    into one fused-vector cosine (0.80) for transcripts; cluster
+    'probability' maps to the avg member->centroid cosine.
+
+    Acceptance keeps the repo's stricter precision guards on top of the
+    reference's viability floor: best cosine >= assign_floor AND
+    best/second match-score ratio >= ratio_floor (G7 strength+ratio
+    test, utils/clustering.py:31-260) — the weighted score decides
+    WHICH cluster wins (size/cohesion break near-ties), the cosine
+    floor decides WHETHER anything is close enough."""
     sizes = records.groupBy(cluster_col).agg(F.count("*").alias("__n"))
     rec = records.join(sizes, cluster_col)
     singles = rec.where(F.col("__n") == 1).select("conv_id", "vec_idx", "vec_val", cluster_col)
@@ -228,8 +247,23 @@ def reassign_singletons(
         return records
 
     prof = cluster_profiles(multi, cluster_col)
+    # avg member->centroid cosine per cluster (reference avg_probability
+    # analog, validator.py:1435) — one bounded pass over multi members
+    member_q = (
+        multi.join(
+            F.broadcast(prof.select(cluster_col, "c_idx", "c_val")), cluster_col
+        )
+        .withColumn(
+            "__mc",
+            sparse_cosine_udf(F.col("vec_idx"), F.col("vec_val"), F.col("c_idx"), F.col("c_val")),
+        )
+        .groupBy(cluster_col)
+        .agg(F.avg("__mc").alias("avg_member_cos"))
+    )
+    prof = prof.join(member_q, cluster_col)
     pkeys = prof.select(
-        F.col(cluster_col).alias("cand_cluster"), "c_idx", "c_val",
+        F.col(cluster_col).alias("cand_cluster"), "c_idx", "c_val", "size",
+        "avg_member_cos",
         F.explode(_top_slot_keys(F.col("c_idx"), F.col("c_val"), 4)).alias("k"),
     )
     skeys = singles.select(
@@ -244,17 +278,42 @@ def reassign_singletons(
             sparse_cosine_udf(F.col("vec_idx"), F.col("vec_val"), F.col("c_idx"), F.col("c_val")),
         )
     )
-    w = W.partitionBy("conv_id").orderBy(F.col("cos").desc(), F.col("cand_cluster").asc())
+    # soft threshold penalty (validator.py:1390-1410): below-floor
+    # similarity is reduced, not zeroed
+    adj_cos = F.when(
+        F.col("cos") < assign_floor, F.greatest(F.col("cos") - soft_penalty, F.lit(0.0))
+    ).otherwise(F.col("cos"))
+    size_factor = F.least(
+        F.log1p(F.col("size")) / F.log1p(F.lit(10.0)), F.lit(1.0)
+    )
+    scored = scored.withColumn(
+        "match_score",
+        w_cosine * adj_cos + w_size * size_factor + w_avg_score * F.col("avg_member_cos"),
+    ).where(F.col("match_score") >= min_viable)  # viability floor (validator.py:1443)
+    w = W.partitionBy("conv_id").orderBy(
+        F.col("match_score").desc(), F.col("cand_cluster").asc()
+    )
     ranked = scored.withColumn("rk", F.row_number().over(w))
-    best = ranked.where(F.col("rk") == 1).select("conv_id", "cand_cluster", F.col("cos").alias("best"))
-    second = ranked.where(F.col("rk") == 2).select("conv_id", F.col("cos").alias("second"))
+    best = ranked.where(F.col("rk") == 1).select(
+        "conv_id", "cand_cluster", F.col("cos").alias("best_cos"),
+        F.col("match_score").alias("best_score"),
+    )
+    second = ranked.where(F.col("rk") == 2).select(
+        "conv_id", F.col("cos").alias("second_cos"),
+        F.col("match_score").alias("second_score"),
+    )
     assign = (
         best.join(second, "conv_id", "left")
         .where(
-            (F.col("best") >= assign_floor)
+            (F.col("best_cos") >= assign_floor)
             & (
-                F.col("second").isNull()
-                | (F.col("best") >= ratio_floor * F.col("second"))
+                F.col("second_cos").isNull()
+                | (F.col("best_cos") >= ratio_floor * F.col("second_cos"))
+                # a cos near-tie is still decidable when size/cohesion
+                # clearly separate the weighted scores (reference ranks
+                # by match_score alone; the margin keeps the repo's
+                # ambiguity protection for genuinely tied candidates)
+                | (F.col("best_score") >= F.col("second_score") + score_margin)
             )
         )
         .select("conv_id", F.col("cand_cluster").alias("__new"))

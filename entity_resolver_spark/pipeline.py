@@ -60,7 +60,18 @@ class EntityResolverPipeline:
         """turns(conv_id, turn_idx, role, text, tool, ts) -> resolved
         entity records with cluster, canonical_text, confidence."""
         cfg = self.config
-        fp = CheckpointManager.fingerprint(cfg.model_dump_json(), str(turns.schema))
+        fp_parts = [cfg.model_dump_json(), str(turns.schema)]
+        if cfg.output.checkpoint_dir:
+            # fold a cheap data identity into the run fingerprint so the
+            # SAME checkpoint_dir with DIFFERENT data (same schema) does
+            # not silently resume stale stages: row count + order-free
+            # bit_xor checksum (one agg pass; sum() would overflow ANSI)
+            ident = turns.agg(
+                F.count("*").alias("n"),
+                F.bit_xor(F.xxhash64("conv_id", "turn_idx", "text")).alias("x"),
+            ).first()
+            fp_parts.append(f"{ident['n']}:{ident['x']}")
+        fp = CheckpointManager.fingerprint(*fp_parts)
         ckpt = CheckpointManager(
             spark, cfg.output.checkpoint_dir, run_fingerprint=fp, resume=cfg.output.resume
         )
@@ -79,6 +90,7 @@ class EntityResolverPipeline:
                 text_col="doc",
                 min_length=cfg.normalization.min_length,
                 empty_fallback=cfg.normalization.empty_fallback,
+                nfkc=cfg.normalization.nfkc,
             ).drop("doc"),
         )
 
@@ -110,13 +122,20 @@ class EntityResolverPipeline:
 
         pairs = ckpt.stage("pairs", _pairs)
 
+        # min-df floor on the vectorizer's weight table only (blocking's
+        # rare channel has its own df>=2 floor)
+        vec_df_table = (
+            token_stats.where(F.col("df") >= cfg.scoring.tfidf_min_df)
+            if cfg.scoring.tfidf_min_df > 1
+            else token_stats
+        )
         vectorized = ckpt.stage(
             "vectorize",
             lambda: add_tfidf_vectors(
                 normalized,
                 tokens_col="match_tokens",  # order-sensitive unigram+bigram set
                 num_features=cfg.scoring.tfidf_num_features,
-                df_table=token_stats,
+                df_table=vec_df_table,
                 top_k=cfg.scoring.vector_top_k,
             ).drop("match_tokens"),
         )
@@ -172,6 +191,12 @@ class EntityResolverPipeline:
                     out,
                     assign_floor=ref.assign_floor,
                     ratio_floor=ref.assign_ratio_floor,
+                    w_cosine=ref.assign_w_cosine,
+                    w_size=ref.assign_w_size,
+                    w_avg_score=ref.assign_w_avg_score,
+                    soft_penalty=ref.assign_soft_penalty,
+                    min_viable=ref.assign_min_viable,
+                    score_margin=ref.assign_score_margin,
                 ).localCheckpoint(eager=True)
             if ref.merge_vector:
                 out = merge_clusters_vector(

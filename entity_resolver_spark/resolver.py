@@ -34,12 +34,14 @@ class SparkEntityResolver:
     def __init__(self, config: ResolverConfig | None = None) -> None:
         self.config = config or ResolverConfig()
         self.resolved_: DataFrame | None = None
+        self.fitted_: dict[str, DataFrame] | None = None
         self.metrics: list[dict] = []
 
     # ------------------------------------------------------------------
     def fit(self, spark: SparkSession, turns: DataFrame) -> "SparkEntityResolver":
         pipe = EntityResolverPipeline(self.config)
         self.resolved_ = pipe.resolve(spark, turns)
+        self.fitted_ = None  # rebuilt lazily on first transform
         self.metrics = pipe.metrics
         return self
 
@@ -52,13 +54,22 @@ class SparkEntityResolver:
         self, spark: SparkSession, new_turns: DataFrame, assign_floor: float = 0.80
     ) -> DataFrame:
         """Incremental assignment of unseen conversations against the
-        fitted state (G16; no refit)."""
+        fitted state (G16; no refit). The fitted tables (IDF, state
+        keys, state vectors) are derived once on the first transform
+        and reused — each batch touches only batch-sized data plus the
+        precomputed state tables."""
         if self.resolved_ is None:
             raise RuntimeError("fit (or load) must run before transform")
-        from entity_resolver_spark.operators.predict import assign_new
+        from entity_resolver_spark.operators.predict import assign_new, derive_fitted_state
 
+        if self.fitted_ is None:
+            self.fitted_ = {
+                k: v.localCheckpoint(eager=True)
+                for k, v in derive_fitted_state(self.resolved_, self.config).items()
+            }
         return assign_new(
-            spark, self.resolved_, new_turns, self.config, assign_floor=assign_floor
+            spark, self.resolved_, new_turns, self.config,
+            assign_floor=assign_floor, fitted=self.fitted_,
         )
 
     # ------------------------------------------------------------------
@@ -85,14 +96,28 @@ class SparkEntityResolver:
             raise RuntimeError("fit must run before save")
         os.makedirs(path, exist_ok=True)
         self.resolved_.write.mode("overwrite").parquet(os.path.join(path, "resolved"))
+        # persist the fitted transform-side tables too, so a loaded
+        # model's transform never pays the O(state) re-derivation
+        from entity_resolver_spark.operators.predict import derive_fitted_state
+
+        fitted = self.fitted_ or derive_fitted_state(self.resolved_, self.config)
+        for name, df in fitted.items():
+            df.write.mode("overwrite").parquet(os.path.join(path, f"fitted_{name}"))
         self.config.to_yaml(os.path.join(path, "config.yaml"))
         with open(os.path.join(path, "manifest.json"), "w") as f:
-            json.dump({"format": 1, "metrics": self.metrics}, f)
+            json.dump({"format": 2, "metrics": self.metrics}, f)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "SparkEntityResolver":
         obj = cls(ResolverConfig.from_yaml(os.path.join(path, "config.yaml")))
         obj.resolved_ = spark.read.parquet(os.path.join(path, "resolved"))
+        fitted = {}
+        for name in ("idf", "state_keys", "state_vec"):
+            d = os.path.join(path, f"fitted_{name}")
+            if os.path.exists(d):
+                fitted[name] = spark.read.parquet(d)
+        if len(fitted) == 3:
+            obj.fitted_ = fitted
         manifest = os.path.join(path, "manifest.json")
         if os.path.exists(manifest):
             with open(manifest) as f:

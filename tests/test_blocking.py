@@ -96,7 +96,8 @@ def test_oversized_block_is_salted_not_dropped(spark):
         return x
 
     for a, b in got:
-        parent[find(a)] = find(b)
+        if a in parent and b in parent:
+            parent[find(a)] = find(b)
     assert len({find(m) for m in parent}) == 1, "family split by salting"
 
 
@@ -105,3 +106,29 @@ def test_keys_are_deterministic(spark, corpus):
     k1 = blocking_keys(recs, BlockingConfig())
     k2 = blocking_keys(recs, BlockingConfig())
     assert k1.exceptAll(k2).count() == 0
+
+
+def test_phonetic_channel_catches_shifted_typo_family(spark):
+    """VERDICT r1 #7: a typo family where EVERY token shifted spelling
+    (no shared rare token, all bigrams churned) but phonetics agree must
+    still share a blocking key via the C5 channel."""
+    rows = [
+        ("p1", "jon smith phillip knight wright ceased"),
+        ("p2", "john smyth filip night right seased"),  # all-token phonetic typos
+        ("q1", "completely different matter entirely here"),
+    ]
+    # filler so rare-token df floor (df>=2) can't accidentally connect
+    rows += [(f"z{i}", f"noise{i} words{i} only{i} here{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "conv_id string, doc string")
+    recs = normalize_docs(df)
+
+    cfg_off = BlockingConfig(phonetic=False)
+    pairs_off, _ = candidate_pairs(recs, cfg_off)
+    got_off = {(r["conv_a"], r["conv_b"]) for r in pairs_off.collect()}
+    assert ("p1", "p2") not in got_off, "fixture too easy: other channels catch it"
+
+    cfg_on = BlockingConfig()  # phonetic on by default
+    pairs_on, _ = candidate_pairs(recs, cfg_on)
+    got_on = {(r["conv_a"], r["conv_b"]) for r in pairs_on.collect()}
+    assert ("p1", "p2") in got_on
+    assert not any({a, b} & {"q1"} and {a, b} & {"p1", "p2"} for a, b in got_on)

@@ -42,3 +42,24 @@ def test_config_change_invalidates_checkpoints(spark, corpus):
         p2 = EntityResolverPipeline(cfg2)
         p2.resolve(spark, small)
         assert not any(m["resumed"] for m in p2.metrics)
+
+
+def test_data_change_invalidates_checkpoints(spark, corpus):
+    """Same config, same checkpoint_dir, same SCHEMA but different rows
+    must not resume stale stages (the run fingerprint folds in a data
+    checksum)."""
+    turns, _ = corpus
+    small = turns.where("conv_id < 'conv_00005'")
+    other = turns.where("conv_id >= 'conv_00005' and conv_id < 'conv_00010'")
+    with tempfile.TemporaryDirectory() as ck:
+        cfg = ResolverConfig()
+        cfg.output.checkpoint_dir = ck
+        p1 = EntityResolverPipeline(cfg)
+        r1 = p1.resolve(spark, small)
+        ids1 = {r["conv_id"] for r in r1.select("conv_id").collect()}
+
+        p2 = EntityResolverPipeline(cfg)
+        r2 = p2.resolve(spark, other)
+        assert not any(m["resumed"] for m in p2.metrics)
+        ids2 = {r["conv_id"] for r in r2.select("conv_id").collect()}
+        assert ids1.isdisjoint(ids2)

@@ -70,3 +70,89 @@ def test_embedding_dup_pairs(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(emb, cosine_floor=0.95).collect()}
     assert got == {(1, 2)}
+
+
+def test_simhash_pigeonhole_guarantee_vs_bruteforce(spark):
+    """Property (VERDICT r1 #6): EVERY pair with hamming <= max_hamming
+    must be found — chunk count is derived from the threshold, so the
+    pigeonhole guarantee holds at any declared max_hamming."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(120):
+        base = rng.sample(vocab, 30)
+        rows.append((i, " ".join(base)))
+        if i % 3 == 0:  # perturbed sibling: swap a few words
+            pert = list(base)
+            for _ in range(rng.randint(1, 4)):
+                pert[rng.randrange(len(pert))] = rng.choice(vocab)
+            rows.append((1000 + i, " ".join(pert)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for mh in (3, 6, 10):
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_pairs(docs, max_hamming=mh).collect()
+        }
+        # brute force over all simhashes
+        from entity_resolver_spark.operators.dedup import simhash64
+
+        words = F.split(F.lower(F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9 ]", " ")), r"\s+")
+        toks = F.filter(words, lambda t: F.length(t) > 0)
+        sims = {
+            r["doc_id"]: r["sim"]
+            for r in docs.select(
+                "doc_id",
+                simhash64(F.transform(toks, lambda t: F.xxhash64(t))).alias("sim"),
+            ).collect()
+        }
+        expect = {}
+        for a, b in itertools.combinations(sorted(sims), 2):
+            h = bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+            if h <= mh:
+                expect[(a, b)] = h
+        assert got == expect, f"max_hamming={mh}: missed {set(expect) - set(got)}"
+
+
+def test_embedding_dedup_recall_at_floor(spark):
+    """OR-amplified sketches: recall >= 0.95 for true pairs at cosine
+    ~0.95-0.97 on a seeded corpus (VERDICT r1 #10; r1's single table
+    had ~0.43)."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    rows = []
+    true_pairs = set()
+    for i in range(150):
+        v = rng.standard_normal(32)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+        # sibling at cosine ~0.96-0.99
+        n = rng.standard_normal(32)
+        n -= (n @ v) * v
+        n /= np.linalg.norm(n)
+        theta = rng.uniform(0.1, 0.25)
+        w = np.cos(theta) * v + np.sin(theta) * n
+        rows.append((1000 + i, [float(x) for x in w]))
+        if np.cos(theta) >= 0.955:
+            true_pairs.add((i, 1000 + i))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(emb, cosine_floor=0.95).collect()
+    }
+    found = sum(1 for p in true_pairs if p in got)
+    assert found / len(true_pairs) >= 0.95, f"recall {found}/{len(true_pairs)}"
+
+
+def test_minhash_banding_derived_from_floor():
+    from entity_resolver_spark.operators.dedup import pick_banding
+
+    for n_hashes, floor in ((32, 0.5), (32, 0.7), (24, 0.5), (64, 0.8)):
+        b = pick_banding(n_hashes, floor)
+        r = n_hashes // b
+        recall = 1.0 - (1.0 - floor**r) ** b
+        assert recall >= 0.95, (n_hashes, floor, b, recall)

@@ -118,3 +118,21 @@ def test_assign_new_conversations(spark, corpus):
     assert got["NEW_known"]["assigned"] and got["NEW_known"]["cluster"] == truec
     assert not got["NEW_alien"]["assigned"]
     assert got["NEW_alien"]["cluster"] == "NEW_alien"
+
+
+def test_reassign_weighted_score_prefers_large_cohesive_cluster(spark):
+    """K9 parity (VERDICT r1 #9): a singleton roughly equidistant (by
+    cosine) to a large high-cohesion cluster and a small low-cohesion
+    one attaches to the former — the log-size and avg-membership terms
+    decide, mirroring reference weights (validator.py:1428-1436)."""
+    C = "sierra tango uniform victor whiskey xray yankee zulu"
+    big = [(f"big{i}", "cbig", C + " anchor") for i in range(8)]  # tight: identical docs
+    small = [
+        ("sm1", "csml", C + " anchor kilo lima mike november oscar papa"),
+        ("sm2", "csml", C + " anchor quebec romeo foxtrot golf hotel india"),
+    ]  # loose: members diverge from each other
+    lost = [("lost", "lost", C + " anchor extra")]
+    df = _vectorized(spark, big + small + lost)
+    out = reassign_singletons(df, assign_floor=0.55, ratio_floor=1.25)
+    got = {r["conv_id"]: r["cluster"] for r in out.collect()}
+    assert got["lost"] == "cbig"
