@@ -138,6 +138,9 @@ class RefinementConfig(BaseModel):
     evict_min_cluster_size: int = 4
     evict_z_floor: float = 2.5
     evict_cosine_floor: float = 0.80
+    # 2-of-3 vote extras (reference validator.py:404-469, 815-831)
+    evict_margin_floor: float = 0.05      # alt cluster within this of own fit
+    evict_very_poor_floor: float = 0.30   # always-evict override
 
     reassign_singletons: bool = True
     assign_floor: float = 0.80

@@ -147,11 +147,22 @@ def metaphone_tokens_py(text: str, max_words: int = 10) -> list[str]:
     return [c for c in codes if c]
 
 
-def make_metaphone_udf(max_words: int = 10):
+def make_metaphone_udf(max_words: int = 10, trunc_len: int | None = None):
+    """trunc_len: if the caller substring-capped the input at this
+    length, a string of exactly that length may end mid-word — the
+    partial trailing word is dropped so truncation never changes a
+    code (callers cap to avoid shipping whole transcripts through
+    Arrow for a 10-word prefix signature)."""
+
+    def _tokens(x: str) -> list[str]:
+        if trunc_len is not None and len(x) == trunc_len and " " in x:
+            x = x.rsplit(" ", 1)[0]
+        return metaphone_tokens_py(x, max_words)
+
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def metaphone_udf(s: pd.Series) -> pd.Series:  # pragma: no cover
         return pd.Series(
-            [metaphone_tokens_py(x, max_words) if x is not None else [] for x in s],
+            [_tokens(x) if x is not None else [] for x in s],
             dtype="object",
         )
 

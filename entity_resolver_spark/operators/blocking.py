@@ -131,9 +131,14 @@ def blocking_keys(
     if cfg.phonetic and "norm_text" in records.columns:
         from entity_resolver_spark.functions.phonetics import make_metaphone_udf
 
+        # substring cap: the UDF only reads the first N words, so don't
+        # ship (or split) multi-KB transcripts through Arrow for them
+        cap = 24 * cfg.phonetic_max_words
         ph = records.select(
             "conv_id",
-            make_metaphone_udf(cfg.phonetic_max_words)(F.col("norm_text")).alias("__ph"),
+            make_metaphone_udf(cfg.phonetic_max_words, trunc_len=cap)(
+                F.substring(F.col("norm_text"), 1, cap)
+            ).alias("__ph"),
         )
         c5 = ph.where(F.size("__ph") >= 1).select(
             "conv_id",

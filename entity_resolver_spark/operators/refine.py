@@ -165,15 +165,28 @@ def evict_outliers(
     min_cluster_size: int = 4,
     z_floor: float = 2.5,
     cosine_floor: float = 0.80,
+    margin_floor: float = 0.05,
+    very_poor_floor: float = 0.30,
 ) -> DataFrame:
-    """Evict members whose cosine to their cluster centroid is both an
-    intra-cluster statistical outlier (z < -z_floor) and absolutely low
-    (< cosine_floor). Evicted records become their own singleton
-    cluster (own conv_id — deterministic), eligible for reassignment.
+    """Evict poor-fitting members by the reference's 2-of-3 vote
+    (validator.py:404-469):
 
-    This is the reference's Mahalanobis eviction (validator.py:521-639)
-    reduced to the 1-D member-centroid direction — the 2-D logit
-    ellipse adds nothing once the pair-space is a single fused vector."""
+      vote 1 — statistical outlier within the cluster (z < -z_floor on
+               member->centroid cosine; Mahalanobis reduced to the 1-D
+               fused-vector direction — the 2-D logit ellipse adds
+               nothing once pair space is one fused vector);
+      vote 2 — absolutely low fit (cosine < cosine_floor);
+      vote 3 — low-margin assignment (validator.py:815-831): some OTHER
+               cluster's centroid fits nearly as well or better
+               (alt_cos >= own_cos - margin_floor). Computed only for
+               members that already hold a vote (the reference's
+               low-score subset), against profiles sharing a top-slot
+               key — bounded, never the full cross join.
+
+    2+ votes evict; an extremely poor fit (own_cos < very_poor_floor)
+    always evicts (reference override 1, validator.py:450-453).
+    Evicted records become their own singleton cluster (own conv_id —
+    deterministic), eligible for reassignment."""
     prof = cluster_profiles(records, cluster_col).select(cluster_col, "c_idx", "c_val", "size")
     scored = (
         records.join(F.broadcast(prof), cluster_col)
@@ -186,21 +199,67 @@ def evict_outliers(
         F.avg("__cos").alias("__mu"),
         F.coalesce(F.stddev_pop("__cos"), F.lit(0.0)).alias("__sd"),
     )
+    eligible = F.col("size") >= min_cluster_size
+    v1 = (
+        eligible
+        & (F.col("__sd") > 0)
+        & (F.col("__cos") < F.col("__mu") - z_floor * F.col("__sd"))
+    )
+    v2 = eligible & (F.col("__cos") < cosine_floor)
+    voted = scored.join(stats, cluster_col).withColumn("__v1", v1).withColumn("__v2", v2)
+
+    # vote 3 (margin) only for members already holding a vote
+    suspects = voted.where(F.col("__v1") | F.col("__v2")).select(
+        "conv_id", cluster_col, "vec_idx", "vec_val", "__cos"
+    )
+    pkeys = prof.select(
+        F.col(cluster_col).alias("__alt_cluster"), F.col("c_idx").alias("a_idx"),
+        F.col("c_val").alias("a_val"),
+        F.explode(_top_slot_keys(F.col("c_idx"), F.col("c_val"), 4)).alias("k"),
+    )
+    skeys = suspects.select(
+        "conv_id", cluster_col, "vec_idx", "vec_val",
+        F.explode(_top_slot_keys(F.col("vec_idx"), F.col("vec_val"), 4)).alias("k"),
+    )
+    alt_best = (
+        skeys.join(pkeys, "k")
+        .where(F.col(cluster_col) != F.col("__alt_cluster"))
+        .dropDuplicates(["conv_id", "__alt_cluster"])
+        .withColumn(
+            "__alt_cos",
+            sparse_cosine_udf(F.col("vec_idx"), F.col("vec_val"), F.col("a_idx"), F.col("a_val")),
+        )
+        .groupBy("conv_id")
+        .agg(F.max("__alt_cos").alias("__alt_cos"))
+    )
+    v3 = suspects.join(alt_best, "conv_id", "left").select(
+        "conv_id",
+        (
+            F.col("__alt_cos").isNotNull()
+            & (F.col("__alt_cos") >= F.col("__cos") - margin_floor)
+        ).alias("__v3"),
+    )
     out = (
-        scored.join(stats, cluster_col)
+        voted.join(F.broadcast(v3), "conv_id", "left")
+        .fillna({"__v3": False})
         .withColumn(
             "__evict",
-            (F.col("size") >= min_cluster_size)
-            & (F.col("__sd") > 0)
-            & (F.col("__cos") < F.col("__mu") - z_floor * F.col("__sd"))
-            & (F.col("__cos") < cosine_floor),
+            (
+                F.col("__v1").cast("int") + F.col("__v2").cast("int")
+                + F.col("__v3").cast("int")
+                >= 2
+            )
+            | (eligible & (F.col("__cos") < very_poor_floor)),
         )
         .withColumn(
             cluster_col,
             F.when(F.col("__evict"), F.col("conv_id")).otherwise(F.col(cluster_col)),
         )
         .withColumn("evicted", F.col("__evict"))
-        .drop("c_idx", "c_val", "size", "__cos", "__mu", "__sd", "__evict")
+        .drop(
+            "c_idx", "c_val", "size", "__cos", "__mu", "__sd",
+            "__v1", "__v2", "__v3", "__evict",
+        )
     )
     return out
 

@@ -185,6 +185,8 @@ class EntityResolverPipeline:
                     min_cluster_size=ref.evict_min_cluster_size,
                     z_floor=ref.evict_z_floor,
                     cosine_floor=ref.evict_cosine_floor,
+                    margin_floor=ref.evict_margin_floor,
+                    very_poor_floor=ref.evict_very_poor_floor,
                 ).drop("evicted").localCheckpoint(eager=True)
             if ref.reassign_singletons:
                 out = reassign_singletons(

@@ -136,3 +136,27 @@ def test_reassign_weighted_score_prefers_large_cohesive_cluster(spark):
     out = reassign_singletons(df, assign_floor=0.55, ratio_floor=1.25)
     got = {r["conv_id"]: r["cluster"] for r in out.collect()}
     assert got["lost"] == "cbig"
+
+
+def test_evict_low_margin_vote(spark):
+    """2-of-3 vote (reference validator.py:404-469): a member that is a
+    mild statistical outlier (one vote) gets evicted only when another
+    cluster's centroid fits nearly as well (margin vote)."""
+    D = "quebec romeo sierra tango uniform victor whiskey"
+    E = "golf hotel india juliet kilo lima mike"
+    rows = (
+        [(f"d{i}", "cd", D + f" filler{i % 2}") for i in range(5)]
+        # straddler: mostly D but with strong E overlap -> low margin vs ce
+        + [("straddle", "cd", D.split()[0] + " " + E)]
+        + [(f"e{i}", "ce", E + f" pad{i % 2}") for i in range(5)]
+    )
+    df = _vectorized(spark, rows)
+    # z-vote disabled (z_floor=10): straddle holds exactly ONE vote
+    # (absolutely low fit) — only the margin vote can evict it
+    out = evict_outliers(
+        df, min_cluster_size=4, z_floor=10.0, cosine_floor=0.5, margin_floor=0.3,
+        very_poor_floor=0.0,
+    )
+    got = {r["conv_id"]: (r["cluster"], r["evicted"]) for r in out.collect()}
+    assert got["straddle"] == ("straddle", True)
+    assert all(not ev for cid, (cl, ev) in got.items() if cid != "straddle")
