@@ -234,6 +234,60 @@ def q_review_histogram(spark, sf_dir):
     )
 
 
+def q_confidence_penalty(spark, sf_dir):
+    """K10/K11: full confidence penalty stack + review flags over a
+    constructed clustering of the documents table (cluster = doc_id %
+    300 gives singletons AND 2-member clusters, exercising the
+    name-change, small-cluster and singleton paths)."""
+    from entity_resolver_spark.config import ConfidenceConfig
+    from entity_resolver_spark.operators.confidence import score_confidence
+    from pyspark.sql import types as T
+
+    d = _read(spark, sf_dir, "documents")
+    recs = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        (F.col("doc_id") % 300).cast("string").alias("cluster"),
+        F.col("text").alias("norm_text"),
+    )
+    canon = recs.groupBy("cluster").agg(F.min("norm_text").alias("canonical_text"))
+    recs = recs.join(canon, "cluster")
+    empty_stats = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("cluster", T.StringType()),
+                T.StructField("n_edges", T.LongType()),
+                T.StructField("avg_edge_score", T.DoubleType()),
+                T.StructField("std_edge_score", T.DoubleType()),
+            ]
+        ),
+    )
+    out = score_confidence(recs, empty_stats, ConfidenceConfig())
+    return out.select(
+        "conv_id",
+        F.round("confidence_score", 6).alias("confidence_score"),
+        "confidence_category",
+        "needs_review",
+        F.coalesce("review_reason", F.lit("")).alias("review_reason"),
+    )
+
+
+def q_canonical_fd(spark, sf_dir):
+    """Q2 repair: deterministic canonical-text functional-dependency
+    enforcement (two clusters converging on one canonical get ' #rank'
+    suffixes) — first word of each doc as the canonical, cluster =
+    doc_id % 40, so collisions are guaranteed."""
+    from entity_resolver_spark.operators.validate import enforce_canonical_fd
+
+    d = _read(spark, sf_dir, "documents")
+    recs = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        (F.col("doc_id") % 40).cast("string").alias("cluster"),
+        F.element_at(F.split("text", " "), 1).alias("canonical_text"),
+    )
+    return enforce_canonical_fd(recs).select("conv_id", "cluster", "canonical_text")
+
+
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup: deterministic survivor per (custkey, status)."""
     from entity_resolver_spark.operators.dedup import exact_dedup
@@ -367,6 +421,29 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "nn_id", F.round("cosine", 5).alias("cosine"), "rk")
 
 
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via OR-amplified sign-sketch LSH
+    + exact-cosine verification (rows-only: bucket hashing is seeded
+    NumPy, not SQL-portable; recall property is pytest-verified)."""
+    from entity_resolver_spark.operators.dedup import embedding_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # the synthetic table has no natural near-dups (max pairwise cosine
+    # ~0.51), so plant deterministic perturbed copies: cosine ~0.994
+    pert = emb.where("vec_id < 200").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.zip_with(
+            "embedding",
+            F.sequence(F.lit(0), F.size("embedding") - 1),
+            lambda v, d: v + 0.02 * F.sin(d.cast("double")),
+        ).alias("embedding"),
+    )
+    out = embedding_dup_pairs(emb.unionByName(pert), cosine_floor=0.95)
+    return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from entity_resolver_spark.operators.textstats import fingerprint_expr
 
@@ -447,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_pick": q_canonical_pick,
         "components": q_components,
         "review_histogram": q_review_histogram,
+        "confidence_penalty": q_confidence_penalty,
+        "canonical_fd": q_canonical_fd,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "token_stats": q_token_stats,
@@ -461,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "ivf_topk": q_ivf_topk,
+        "embedding_dedup": q_embedding_dedup,
         "doc_fingerprint": q_doc_fingerprint,
         "media_features": q_media_features,
         "phonetic_block": q_phonetic_block,
@@ -574,6 +654,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*) AS n FROM (
               SELECT unnest(string_split(o_orderpriority, '-')) AS token FROM orders
             ) GROUP BY token
+        """,
+        "confidence_penalty": """
+            WITH r AS (
+              SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+                     CAST(doc_id % 300 AS VARCHAR) AS cluster,
+                     text AS norm_text,
+                     min(text) OVER (PARTITION BY doc_id % 300) AS canonical_text,
+                     count(*) OVER (PARTITION BY doc_id % 300) AS cluster_size
+              FROM documents
+            ), s AS (
+              SELECT *,
+                CAST(levenshtein(substr(norm_text, 1, 128), substr(canonical_text, 1, 128)) AS DOUBLE)
+                  / greatest(length(substr(norm_text, 1, 128)),
+                             length(substr(canonical_text, 1, 128)), 1) AS cm
+              FROM r
+            ), sc AS (
+              SELECT conv_id, cluster_size, cm,
+                least(greatest(
+                  (0.45 * (CASE WHEN cluster_size = 1 THEN 1.0 ELSE 0.0 END)
+                   + 0.30 * 1.0
+                   + 0.25 * least(ln(cluster_size + 1.0) / ln(11.0), 1.0))
+                  * (CASE WHEN cm > 0.5 THEN 0.9 ELSE 1.0 END)
+                  * (CASE WHEN cluster_size <= 2 AND cm > 0.7 THEN 0.85 ELSE 1.0 END)
+                , 0.0), 1.0) AS conf
+              FROM s
+            )
+            SELECT conv_id,
+                   round(conf, 6) AS confidence_score,
+                   CASE WHEN conf < 0.5 THEN 'Low'
+                        WHEN conf < 0.7 THEN 'Medium'
+                        WHEN conf < 0.85 THEN 'High'
+                        ELSE 'Very High' END AS confidence_category,
+                   (conf < 0.75 OR cm > 0.7
+                    OR (cluster_size = 1 AND cm > 0.01)) AS needs_review,
+                   coalesce(concat_ws(',',
+                     CASE WHEN conf < 0.75 THEN 'low_confidence' END,
+                     CASE WHEN cm > 0.7 THEN 'drastic_name_change' END,
+                     CASE WHEN cluster_size = 1 AND cm > 0.01 THEN 'singleton_name_change' END
+                   ), '') AS review_reason
+            FROM sc
+        """,
+        "canonical_fd": """
+            WITH r AS (
+              SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+                     CAST(doc_id % 40 AS VARCHAR) AS cluster,
+                     string_split(text, ' ')[1] AS name
+              FROM documents
+            ), pairs AS (
+              SELECT name, cluster, min(conv_id) AS min_id FROM r GROUP BY name, cluster
+            ), ranked AS (
+              SELECT name, cluster,
+                     row_number() OVER (PARTITION BY name ORDER BY min_id, cluster) AS rk
+              FROM pairs
+            )
+            SELECT r.conv_id, r.cluster,
+                   CASE WHEN rk > 1 THEN name || ' #' || CAST(rk AS VARCHAR)
+                        ELSE name END AS canonical_text
+            FROM r JOIN ranked USING (name, cluster)
         """,
         "exact_dedup": """
             SELECT o_custkey, o_orderstatus, o_orderkey AS survivor_orderkey

@@ -70,8 +70,9 @@ def main() -> None:
     for name in [
         "collapse_turns", "group_stats", "join_agg_topn", "sessionize",
         "minhash_dedup", "simhash_dedup", "ngram_jaccard", "exact_dedup",
-        "token_stats", "quality_lang", "embedding_topk", "ivf_topk",
-        "lev_similarity", "jaro_winkler", "components", "dedup_window",
+        "embedding_dedup", "token_stats", "quality_lang", "embedding_topk",
+        "ivf_topk", "lev_similarity", "jaro_winkler", "components",
+        "dedup_window", "confidence_penalty", "canonical_fd",
     ]:
         run(name, qs[name])
 

@@ -90,6 +90,12 @@ class BlockingConfig(BaseModel):
     # misspellings are phonetic
     phonetic: bool = True
     phonetic_max_words: int = 10
+    # C5 emits keys only for records with at most this many tokens: a
+    # 10-word prefix signature is discriminative for short name-like
+    # docs (the reference's phonetic stream runs on entity NAMES) but
+    # groups long transcripts by their shared openings — measured 3.4x
+    # candidate-pair inflation at 3.2M turns with no recall gain
+    phonetic_max_tokens: int = 32
 
 
 class ScoringConfig(BaseModel):

@@ -132,9 +132,13 @@ def blocking_keys(
         from entity_resolver_spark.functions.phonetics import make_metaphone_udf
 
         # substring cap: the UDF only reads the first N words, so don't
-        # ship (or split) multi-KB transcripts through Arrow for them
+        # ship (or split) multi-KB transcripts through Arrow for them.
+        # SHORT docs only (reference runs phonetics on entity NAMES): a
+        # prefix signature on long transcripts keys them by their shared
+        # openings — measured 3.4x candidate-pair inflation at 3.2M
+        # turns with no recall gain
         cap = 24 * cfg.phonetic_max_words
-        ph = records.select(
+        ph = records.where(F.size(tokens_col) <= cfg.phonetic_max_tokens).select(
             "conv_id",
             make_metaphone_udf(cfg.phonetic_max_words, trunc_len=cap)(
                 F.substring(F.col("norm_text"), 1, cap)
