@@ -56,15 +56,25 @@ def brute_force_topk(
 def ivf_centroids(corpus: DataFrame, n_cells: int, id_col: str = "vec_id",
                   vec_col: str = "embedding", seed: int = 42) -> DataFrame:
     """Deterministic centroid sample: the n_cells corpus vectors with the
-    smallest xxhash64(id, seed) — a seeded uniform sample, L2-normalized."""
-    w = W.orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).asc())
-    return (
-        corpus.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= n_cells)
-        .select(
-            (F.col("__rk") - 1).alias("cell_id"),
+    smallest xxhash64(id, seed) — a seeded uniform sample, L2-normalized.
+
+    orderBy().limit(n) compiles to TakeOrderedAndProject (per-partition
+    top-k merged on the driver) so the sample costs one corpus scan with
+    NO global sort; the row_number window that mints cell_id then runs
+    over only the n_cells sampled rows (bounded by construction)."""
+    sample = (
+        corpus.select(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("__h"),
+            F.col(id_col).alias("__id"),
             _l2_normalize(F.col(vec_col)).alias("centroid"),
         )
+        .orderBy(F.col("__h").asc(), F.col("__id").asc())
+        .limit(n_cells)
+    )
+    w = W.orderBy(F.col("__h").asc(), F.col("__id").asc())
+    return (
+        sample.withColumn("__rk", F.row_number().over(w))
+        .select((F.col("__rk") - 1).alias("cell_id"), "centroid")
     )
 
 
