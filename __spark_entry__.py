@@ -288,6 +288,55 @@ def q_canonical_fd(spark, sf_dir):
     return enforce_canonical_fd(recs).select("conv_id", "cluster", "canonical_text")
 
 
+def q_mutual_rank(spark, sf_dir):
+    """G3/K12: mutual-kNN graph with hybrid mutual-rank weights over
+    same-nation customer-name similarity (reference utils/graph.py:
+    390-571). sim = 1 - lev/max(len) — pure IEEE division so Spark and
+    DuckDB rank identically."""
+    from entity_resolver_spark.operators.pairs import mutual_rank_edges
+
+    c = _read(spark, sf_dir, "customer")
+    a = c.select(F.col("c_custkey").alias("src"), F.col("c_name").alias("na"),
+                 F.col("c_nationkey").alias("nk"))
+    b = c.select(F.col("c_custkey").alias("dst"), F.col("c_name").alias("nb"),
+                 F.col("c_nationkey").alias("nk"))
+    directed = (
+        a.join(b, "nk")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst",
+            (
+                F.lit(1.0)
+                - F.levenshtein("na", "nb")
+                / F.greatest(F.length("na"), F.length("nb"), F.lit(1))
+            ).alias("sim"),
+        )
+    )
+    out = mutual_rank_edges(directed, k=5)
+    return out.select("src", "dst", F.round("weight", 6).alias("weight"))
+
+
+def q_purity(spark, sf_dir):
+    """A6: contingency purity between two labelings (with noise=-1 on
+    both sides) of the documents table (reference clusterer.py:676-724)."""
+    from entity_resolver_spark.operators.report import purity_contingency
+
+    d = _read(spark, sf_dir, "documents")
+    lab = d.select(
+        F.when(F.col("doc_id") % 11 == 0, F.lit(-1))
+        .otherwise(F.col("doc_id") % 7)
+        .alias("label_a"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(-1))
+        .otherwise(F.col("doc_id") % 5)
+        .alias("label_b"),
+    )
+    out = purity_contingency(lab, noise=-1, min_overlap=2)
+    return out.select(
+        "label_a", "best_match", "overlap", "total",
+        F.round("purity", 6).alias("purity"),
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup: deterministic survivor per (custkey, status)."""
     from entity_resolver_spark.operators.dedup import exact_dedup
@@ -526,6 +575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "review_histogram": q_review_histogram,
         "confidence_penalty": q_confidence_penalty,
         "canonical_fd": q_canonical_fd,
+        "mutual_rank": q_mutual_rank,
+        "purity": q_purity,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "token_stats": q_token_stats,
@@ -712,6 +763,44 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN rk > 1 THEN name || ' #' || CAST(rk AS VARCHAR)
                         ELSE name END AS canonical_text
             FROM r JOIN ranked USING (name, cluster)
+        """,
+        "mutual_rank": """
+            WITH directed AS (
+              SELECT a.c_custkey AS src, b.c_custkey AS dst,
+                     1.0 - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)
+                           / greatest(length(a.c_name), length(b.c_name), 1) AS sim
+              FROM customer a JOIN customer b
+                ON a.c_nationkey = b.c_nationkey AND a.c_custkey <> b.c_custkey
+            ), ranked AS (
+              SELECT src AS u, dst AS v, sim,
+                     row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst ASC) - 1 AS rk
+              FROM directed
+              QUALIFY rk < 5
+            )
+            SELECT r1.u AS src, r1.v AS dst,
+                   round((1.0 / (r1.rk + r2.rk + 2.0)) * (r1.sim + r2.sim) / 2.0, 6) AS weight
+            FROM ranked r1 JOIN ranked r2 ON r1.u = r2.v AND r1.v = r2.u
+            WHERE r1.u < r1.v
+        """,
+        "purity": """
+            WITH l AS (
+              SELECT CASE WHEN doc_id % 11 = 0 THEN -1 ELSE doc_id % 7 END AS a,
+                     CASE WHEN doc_id % 13 = 0 THEN -1 ELSE doc_id % 5 END AS b
+              FROM documents
+            ), av AS (SELECT * FROM l WHERE a <> -1),
+            tot AS (SELECT a, CAST(count(*) AS BIGINT) AS total FROM av GROUP BY a),
+            ov AS (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS overlap
+              FROM av WHERE b <> -1 GROUP BY a, b
+            ), best AS (
+              SELECT a, b, overlap,
+                     row_number() OVER (PARTITION BY a ORDER BY overlap DESC, b ASC) AS rn
+              FROM ov
+            )
+            SELECT best.a AS label_a, best.b AS best_match, overlap, total,
+                   round(CAST(overlap AS DOUBLE) / total, 6) AS purity
+            FROM best JOIN tot USING (a)
+            WHERE rn = 1 AND overlap >= 2
         """,
         "exact_dedup": """
             SELECT o_custkey, o_orderstatus, o_orderkey AS survivor_orderkey

@@ -14,6 +14,7 @@ BEFORE any Python UDF so the Arrow batches only carry plausible pairs
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from entity_resolver_spark.config import ScoringConfig
@@ -104,3 +105,63 @@ def edges_from_scores(scored: DataFrame, threshold: float) -> DataFrame:
     return scored.where(F.col("score") >= threshold).select(
         F.col("conv_a").alias("src"), F.col("conv_b").alias("dst"), "score"
     )
+
+
+def mutual_rank_edges(
+    scored: DataFrame,
+    k: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    sim_col: str = "sim",
+    rank_weight_factor: float = 1.0,
+    similarity_weight_factor: float = 1.0,
+    min_edge_weight: float | None = None,
+) -> DataFrame:
+    """G3 + K12: directed scored edges -> mutual-kNN graph with hybrid
+    mutual-rank weights (reference utils/graph.py:390-449 weight formula,
+    452-571 mutual filter).
+
+    Each node keeps its top-k neighbors by similarity (0-based rank,
+    deterministic dst tie-break); an undirected edge survives only if
+    BOTH endpoints kept each other (mutual), and its weight is
+    rank_weight_factor / (rank_ab + rank_ba + 2)
+    * similarity_weight_factor * (sim_ab + sim_ba) / 2
+    — high only when both nodes rank each other highly AND the
+    similarity itself is high.
+
+    Scale shape: one window per direction partitioned by the node (no
+    global sort), then an equi-join on the (node, neighbor) pair — both
+    shuffles are keyed by node ids, never all-pairs.
+    """
+    w = W.partitionBy(src_col).orderBy(F.col(sim_col).desc(), F.col(dst_col).asc())
+    ranked = (
+        scored.withColumn("__rk", F.row_number().over(w) - 1)
+        .where(F.col("__rk") < k)
+        .select(
+            F.col(src_col).alias("u"),
+            F.col(dst_col).alias("v"),
+            F.col(sim_col).alias("sim_uv"),
+            F.col("__rk").alias("rank_uv"),
+        )
+    )
+    rev = ranked.select(
+        F.col("v").alias("u"),
+        F.col("u").alias("v"),
+        F.col("sim_uv").alias("sim_vu"),
+        F.col("rank_uv").alias("rank_vu"),
+    )
+    mutual = (
+        ranked.join(rev, ["u", "v"])
+        .where(F.col("u") < F.col("v"))
+        .withColumn(
+            "weight",
+            (F.lit(rank_weight_factor) / (F.col("rank_uv") + F.col("rank_vu") + F.lit(2.0)))
+            * F.lit(similarity_weight_factor)
+            * (F.col("sim_uv") + F.col("sim_vu"))
+            / F.lit(2.0),
+        )
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"), "weight")
+    )
+    if min_edge_weight is not None:
+        mutual = mutual.where(F.col("weight") >= min_edge_weight)
+    return mutual

@@ -11,6 +11,7 @@ table per run (the north rule's match-count metrics)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -86,4 +87,41 @@ def review_dataframe(resolved: DataFrame) -> DataFrame:
             F.col("canonical_text").asc(),
             F.col("norm_text").asc(),
         )
+    )
+
+
+def purity_contingency(
+    labels: DataFrame,
+    label_a: str = "label_a",
+    label_b: str = "label_b",
+    noise: object = None,
+    purity_min: float = 0.0,
+    min_overlap: int = 0,
+) -> DataFrame:
+    """A6: contingency purity between two labelings of the same rows
+    (reference clusterer.py:676-724, its SNN-vs-HDBSCAN mapping).
+
+    For every a-cluster: total = its full member count (noise-b members
+    INCLUDED — the reference's "true total size" denominator), overlap =
+    members shared with each b-cluster (noise excluded on both sides),
+    purity = overlap / total; returns the best b per a (overlap desc,
+    deterministic b-asc tie-break) filtered by purity_min/min_overlap.
+
+    Pure SQL: two groupBy aggregations + one window, all keyed by the
+    cluster labels — no all-pairs term at any scale.
+    """
+    a_valid = labels.where(F.col(label_a) != F.lit(noise)) if noise is not None else labels
+    totals = a_valid.groupBy(label_a).agg(F.count("*").alias("total"))
+    both = (
+        a_valid.where(F.col(label_b) != F.lit(noise)) if noise is not None else a_valid
+    )
+    overlap = both.groupBy(label_a, label_b).agg(F.count("*").alias("overlap"))
+    w = W.partitionBy(label_a).orderBy(F.col("overlap").desc(), F.col(label_b).asc())
+    return (
+        overlap.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .join(totals, label_a)
+        .withColumn("purity", F.col("overlap") / F.col("total"))
+        .where((F.col("purity") >= purity_min) & (F.col("overlap") >= min_overlap))
+        .select(label_a, F.col(label_b).alias("best_match"), "overlap", "total", "purity")
     )
