@@ -78,7 +78,11 @@ class CheckpointManager:
                 return df
 
         df = compute()
-        df.write.mode("overwrite").parquet(data_dir)
+        # the single write gate: Iceberg writeTo when the target is a
+        # catalog table and a catalog is configured, parquet dir here
+        from entity_resolver_spark.sinks import write_table
+
+        write_table(df, data_dir, mode="overwrite")
         df = self.spark.read.parquet(data_dir)  # re-read: truncated lineage
         rows = df.count()
         with open(manifest_path, "w") as f:
