@@ -337,6 +337,52 @@ def q_purity(spark, sf_dir):
     )
 
 
+def q_label_prop(spark, sf_dir):
+    """G4 analog: deterministic semi-synchronous weighted label
+    propagation over a chain+skip graph on event user ids (reference
+    Louvain role, clusterer.py:400-413). Integer-id parity makes every
+    step SQL-portable; the oracle unrolls the same 4 iterations."""
+    from entity_resolver_spark.operators.communities import label_propagation
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("id")
+    ).distinct()
+    a, b = ev.alias("a"), ev.alias("b")
+    e1 = a.join(b, F.col("b.id") == F.col("a.id") + 1).select(
+        F.col("a.id").alias("src"), F.col("b.id").alias("dst"), F.lit(1.0).alias("weight")
+    )
+    e2 = a.join(b, F.col("b.id") == F.col("a.id") + 10).select(
+        F.col("a.id").alias("src"), F.col("b.id").alias("dst"), F.lit(0.4).alias("weight")
+    )
+    out = label_propagation(
+        e1.union(e2), max_iter=4, parity_expr=lambda c: F.pmod(c, F.lit(2))
+    )
+    return out.select("id", "community")
+
+
+def q_ensemble(spark, sf_dir):
+    """G8: purity-ensemble reconciliation of two labelings — keep
+    non-noise primary, rescue noise through the purity map, mint new
+    clusters from unmapped noise-heavy secondary groups (reference
+    clusterer.py:726-937)."""
+    from entity_resolver_spark.operators.communities import ensemble_clusters
+
+    d = _read(spark, sf_dir, "documents")
+    # secondary classes 0-19 are coherent (map with purity ~0.86 ->
+    # their noise members get RESCUED); classes 20-24 are all-noise
+    # (unmapped -> MINTED); everyone else KEEPS primary
+    asg = d.select(
+        F.col("doc_id").alias("id"),
+        F.when((F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 25 >= 20), F.lit(-1))
+        .otherwise(F.col("doc_id") % 5)
+        .alias("primary"),
+        (F.col("doc_id") % 25).alias("secondary"),
+    )
+    return ensemble_clusters(
+        asg, noise=-1, purity_min=0.5, min_overlap=2, min_new_cluster=3
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup: deterministic survivor per (custkey, status)."""
     from entity_resolver_spark.operators.dedup import exact_dedup
@@ -577,6 +623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_fd": q_canonical_fd,
         "mutual_rank": q_mutual_rank,
         "purity": q_purity,
+        "label_prop": q_label_prop,
+        "ensemble": q_ensemble,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "token_stats": q_token_stats,
@@ -602,10 +650,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles
 # ---------------------------------------------------------------------------
 
+def _label_prop_oracle(n_iter: int = 4) -> str:
+    """Unrolled semi-synchronous LPA mirroring communities.py
+    label_propagation with parity = id % 2 (see its docstring: the
+    early-stop is a no-op, so exactly n_iter rounds is equivalent)."""
+    ctes = [
+        """users AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS id FROM events),
+        e AS (
+          SELECT a.id AS src, b.id AS dst, 1.0 AS w
+          FROM users a JOIN users b ON b.id = a.id + 1
+          UNION ALL
+          SELECT a.id, b.id, 0.4 FROM users a JOIN users b ON b.id = a.id + 10
+        ),
+        adj AS (
+          SELECT u, v, max(w) AS w FROM (
+            SELECT src AS u, dst AS v, w FROM e
+            UNION ALL SELECT dst, src, w FROM e
+          ) GROUP BY u, v
+        ),
+        lab0 AS (SELECT DISTINCT u AS id, u AS community FROM adj)"""
+    ]
+    for i in range(n_iter):
+        ctes.append(f"""score{i} AS (
+          SELECT a.u, l.community AS c, sum(a.w) AS s
+          FROM adj a JOIN lab{i} l ON a.v = l.id GROUP BY a.u, l.community
+        ),
+        best{i} AS (
+          SELECT u, c FROM (
+            SELECT u, c, row_number() OVER (PARTITION BY u ORDER BY s DESC, c ASC) AS rn
+            FROM score{i}
+          ) WHERE rn = 1
+        ),
+        lab{i + 1} AS (
+          SELECT l.id,
+                 CASE WHEN l.id % 2 = {i % 2} AND b.c IS NOT NULL THEN b.c
+                      ELSE l.community END AS community
+          FROM lab{i} l LEFT JOIN best{i} b ON l.id = b.u
+        )""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, community FROM lab{n_iter}"
+
+
 def oracle_sql() -> dict[str, str]:
     t_cte = f"WITH t AS ({_T_SQL})"
     words = _WORDS_DUCK
     return {
+        "label_prop": _label_prop_oracle(4),
+        "ensemble": """
+            WITH asg AS (
+              SELECT doc_id AS id,
+                     CASE WHEN doc_id % 7 = 0 OR doc_id % 25 >= 20 THEN -1
+                          ELSE doc_id % 5 END AS p,
+                     doc_id % 25 AS s
+              FROM documents
+            ),
+            tot AS (SELECT s, count(*) AS total FROM asg GROUP BY s),
+            ov AS (SELECT s, p, count(*) AS overlap FROM asg WHERE p <> -1 GROUP BY s, p),
+            best AS (
+              SELECT s, p, overlap,
+                     row_number() OVER (PARTITION BY s ORDER BY overlap DESC, p ASC) AS rn
+              FROM ov
+            ),
+            map AS (
+              SELECT best.s, best.p AS mp FROM best JOIN tot USING (s)
+              WHERE rn = 1 AND overlap >= 2
+                AND CAST(overlap AS DOUBLE) / total >= 0.5
+            ),
+            mint AS (
+              SELECT s FROM asg LEFT JOIN map USING (s)
+              WHERE p = -1 AND mp IS NULL GROUP BY s HAVING count(*) >= 3
+            )
+            SELECT asg.id,
+                   CASE WHEN asg.p <> -1 THEN CAST(asg.p AS VARCHAR)
+                        WHEN map.mp IS NOT NULL THEN CAST(map.mp AS VARCHAR)
+                        WHEN mint.s IS NOT NULL THEN 'new#' || CAST(asg.s AS VARCHAR)
+                        ELSE CAST(asg.p AS VARCHAR) END AS cluster
+            FROM asg LEFT JOIN map USING (s) LEFT JOIN mint USING (s)
+        """,
         "collapse_turns": f"""
             {t_cte}
             SELECT conv_id,
