@@ -383,6 +383,33 @@ def q_ensemble(spark, sf_dir):
     )
 
 
+def q_stream_fusion(spark, sf_dir):
+    """V9+V10: balance (L2 + sqrt-proportion energy scaling) and fuse
+    two feature streams into one cosine-ready vector (reference
+    utils/vector.py:828-857, context_vectorizer.py:445-530). Output is
+    posexploded to scalar rows so every fused element is value-checked
+    against the DuckDB oracle."""
+    from entity_resolver_spark.operators.vectorize import balance_fuse_expr
+
+    emb = _read(spark, sf_dir, "embeddings").where("vec_id < 100").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    # second stream: the first 16 dims shifted by +1 (deterministic,
+    # different norm than stream one)
+    two = emb.select(
+        "vec_id",
+        balance_fuse_expr(
+            [
+                (F.col("e"), 0.6),
+                (F.transform(F.slice("e", 1, 16), lambda x: x + 1.0), 0.4),
+            ]
+        ).alias("fused"),
+    )
+    return two.select(
+        "vec_id", F.posexplode("fused").alias("pos", "val")
+    ).select("vec_id", "pos", F.round("val", 6).alias("val"))
+
+
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup: deterministic survivor per (custkey, status)."""
     from entity_resolver_spark.operators.dedup import exact_dedup
@@ -625,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purity": q_purity,
         "label_prop": q_label_prop,
         "ensemble": q_ensemble,
+        "stream_fusion": q_stream_fusion,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "token_stats": q_token_stats,
@@ -695,6 +723,38 @@ def oracle_sql() -> dict[str, str]:
     words = _WORDS_DUCK
     return {
         "label_prop": _label_prop_oracle(4),
+        "stream_fusion": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 100
+            ), streams AS (
+              SELECT vec_id, e AS s1,
+                     list_transform(e[1:16], x -> x + 1.0) AS s2
+              FROM base
+            ), norm AS (
+              SELECT vec_id, s1, s2,
+                     sqrt(list_aggregate(list_transform(s1, x -> x*x), 'sum')) AS n1,
+                     sqrt(list_aggregate(list_transform(s2, x -> x*x), 'sum')) AS n2
+              FROM streams
+            ), bal AS (
+              SELECT vec_id,
+                     list_concat(
+                       list_transform(s1, x -> x / n1 * sqrt(0.6)),
+                       list_transform(s2, x -> x / n2 * sqrt(0.4))
+                     ) AS f
+              FROM norm
+            ), fin AS (
+              SELECT vec_id,
+                     list_transform(
+                       f, x -> x / sqrt(list_aggregate(list_transform(f, y -> y*y), 'sum'))
+                     ) AS fused
+              FROM bal
+            )
+            SELECT vec_id,
+                   CAST(generate_subscripts(fused, 1) - 1 AS INTEGER) AS pos,
+                   round(unnest(fused), 6) AS val
+            FROM fin
+        """,
         "ensemble": """
             WITH asg AS (
               SELECT doc_id AS id,

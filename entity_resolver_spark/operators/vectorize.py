@@ -136,3 +136,35 @@ def add_tfidf_vectors(
         idf = idf_table(records, tokens_col, df_table=df_table)
     vec = hashed_tfidf(records, idf, id_col, tokens_col, num_features, top_k=top_k)
     return records.join(vec, id_col, "left")
+
+
+def l2_normalize_expr(vec):
+    """V8 as a pure JVM expression: row L2 over array<double>, zero
+    rows passed through (reference utils/vector.py:19-196 dense path)."""
+    n = F.sqrt(
+        F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return F.when(n > 0, F.transform(vec, lambda x: x / n)).otherwise(vec)
+
+
+def balance_fuse_expr(streams):
+    """V9+V10: fuse [(array_col, proportion), ...] into one cosine-ready
+    vector — per-stream L2, scale by sqrt(proportion) so each stream
+    contributes its target ENERGY share, concatenate, final L2
+    (reference utils/vector.py:828-857 balancing,
+    context_vectorizer.py:445-530 fusion; the final TruncatedSVD is
+    dropped for fixed hash dimensionality per SURVEY §7.1).
+
+    Whole-stage-codegen higher-order functions only — no UDF, no
+    shuffle; scales as a per-row map at any corpus size."""
+    import math
+
+    def _scaler(s):
+        # one-arg lambda factory: a two-parameter lambda (even with a
+        # default) would be called by Spark as (element, index)
+        return lambda x: x * F.lit(s)
+
+    balanced = [
+        F.transform(l2_normalize_expr(col), _scaler(math.sqrt(p))) for col, p in streams
+    ]
+    return l2_normalize_expr(F.concat(*balanced))

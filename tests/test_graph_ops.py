@@ -72,3 +72,24 @@ def test_purity_thresholds_and_tiebreak(spark):
     assert purity_contingency(df, purity_min=0.6).count() == 0
     # min_overlap filters it out
     assert purity_contingency(df, min_overlap=3).count() == 0
+
+
+def test_balance_fuse_energy_proportions(spark):
+    import numpy as np
+
+    from entity_resolver_spark.operators.vectorize import balance_fuse_expr
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0], [10.0, 0.0, 0.0]), (2, [1.0, 0.0], [2.0, 2.0, 1.0])],
+        ["id", "a", "b"],
+    )
+    out = df.select(
+        "id", balance_fuse_expr([(F.col("a"), 0.7), (F.col("b"), 0.3)]).alias("f")
+    ).collect()
+    for r in out:
+        v = np.array(r["f"])
+        assert len(v) == 5
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-12  # final L2
+        # energy split matches the configured proportions exactly
+        assert abs((v[:2] ** 2).sum() - 0.7) < 1e-12
+        assert abs((v[2:] ** 2).sum() - 0.3) < 1e-12
