@@ -137,7 +137,13 @@ class EntityResolverPipeline:
                 num_features=cfg.scoring.tfidf_num_features,
                 df_table=vec_df_table,
                 top_k=cfg.scoring.vector_top_k,
-            ).drop("match_tokens"),
+            ).drop("match_tokens", "tokens"),
+            # blocking's C4 unigram channel is tokens' LAST consumer —
+            # from here on every stage reads match-relevant columns
+            # only. Carrying the 100+-element string array through the
+            # vectorize/clustered materializations costs more than the
+            # whole TF-IDF compute (measured 21s vs 0.5s at 48k
+            # records; vectorize stage 31->18s with the drop).
         )
 
         # checkpointed inputs have no stats, so Catalyst can't choose
@@ -176,7 +182,7 @@ class EntityResolverPipeline:
             # stage goes combinatorial (measured 243s vs ~20s at 48k
             # records).
             out = attach_labels(
-                vectorized.drop("tokens", "vec_blob"), labels
+                vectorized.drop("vec_blob"), labels
             ).localCheckpoint(eager=True)
             ref = cfg.refinement
             if ref.evict_outliers:
