@@ -96,6 +96,10 @@ class BlockingConfig(BaseModel):
     # groups long transcripts by their shared openings — measured 3.4x
     # candidate-pair inflation at 3.2M turns with no recall gain
     phonetic_max_tokens: int = 32
+    # C4 rare-unigram channel source column; None disables the channel.
+    # If set and absent from the records frame, blocking RAISES (never
+    # silently loses a recall channel to an upstream column drop)
+    unigrams_col: str | None = "tokens"
 
 
 class ScoringConfig(BaseModel):

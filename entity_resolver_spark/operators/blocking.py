@@ -116,11 +116,23 @@ def blocking_keys(
 
     # C4: rarest UNIGRAMS — a perturbed variant keeps most unigrams even
     # when its bigrams churn, so distinctive identifiers (case numbers,
-    # ids) connect whole duplicate families through one key
-    if tokens_col != "tokens" and "tokens" in records.columns:
+    # ids) connect whole duplicate families through one key.
+    # cfg.unigrams_col is an EXPLICIT contract: a configured-but-missing
+    # column raises instead of silently dropping the recall channel (a
+    # column-presence gate here once let an upstream .drop() disable C4
+    # unnoticed — the pair count shifted with no error).
+    uni_col = cfg.unigrams_col
+    if uni_col and uni_col != tokens_col:
+        if uni_col not in records.columns:
+            raise ValueError(
+                f"blocking.unigrams_col={uni_col!r} is configured but the "
+                f"column is absent from the records frame (columns: "
+                f"{records.columns}); pass unigrams_col=None to disable "
+                "the C4 channel deliberately"
+            )
         uni = records.select(
-            "conv_id", F.col("tokens").alias("tokens")
-        ).where(F.size("tokens") >= cfg.min_tokens)
+            "conv_id", F.col(uni_col).alias("tokens")
+        ).where(F.size(uni_col) >= cfg.min_tokens)
         out = out.unionByName(_rare_token_keys(uni, "ru:", cfg))
 
     # C5: phonetic prefix signature (reference phonetic stream,

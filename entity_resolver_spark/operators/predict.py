@@ -55,8 +55,10 @@ def derive_fitted_state(
         num_features=cfg.scoring.tfidf_num_features, idf=fitted_idf,
     ).select("conv_id", "cluster", "vec_idx", "vec_val")
     skeys = blocking_keys(
-        state_norm, cfg.blocking, "match_tokens",
-        df_table=fitted_idf.select("token", "df"),
+        # the fitted-state channels run on match_tokens only — disable
+        # C4 explicitly (these frames deliberately carry no unigram col)
+        state_norm, cfg.blocking.model_copy(update={"unigrams_col": None}),
+        "match_tokens", df_table=fitted_idf.select("token", "df"),
     )
     return {"idf": fitted_idf, "state_keys": skeys, "state_vec": state_vec}
 
@@ -110,8 +112,8 @@ def assign_new(
     from entity_resolver_spark.operators.blocking import blocking_keys
 
     nkeys = blocking_keys(
-        normalized, cfg.blocking, "match_tokens",
-        df_table=fitted_idf.select("token", "df"),
+        normalized, cfg.blocking.model_copy(update={"unigrams_col": None}),
+        "match_tokens", df_table=fitted_idf.select("token", "df"),
     )
     cand = (
         nkeys.join(

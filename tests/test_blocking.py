@@ -132,3 +132,21 @@ def test_phonetic_channel_catches_shifted_typo_family(spark):
     got_on = {(r["conv_a"], r["conv_b"]) for r in pairs_on.collect()}
     assert ("p1", "p2") in got_on
     assert not any({a, b} & {"q1"} and {a, b} & {"p1", "p2"} for a, b in got_on)
+
+
+def test_unigram_channel_missing_column_raises(spark):
+    import pytest
+
+    from entity_resolver_spark.config import BlockingConfig
+    from entity_resolver_spark.operators.blocking import blocking_keys
+
+    df = spark.createDataFrame(
+        [("c1", ["a", "b", "a b"])], ["conv_id", "match_tokens"]
+    )
+    # configured unigrams_col absent -> loud failure, never a silent
+    # recall-channel drop
+    with pytest.raises(ValueError, match="unigrams_col"):
+        blocking_keys(df, BlockingConfig(), "match_tokens").count()
+    # explicit opt-out works
+    cfg = BlockingConfig(unigrams_col=None)
+    blocking_keys(df, cfg, "match_tokens").count()
