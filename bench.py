@@ -73,6 +73,7 @@ def main() -> None:
         "embedding_dedup", "token_stats", "quality_lang", "embedding_topk",
         "ivf_topk", "lev_similarity", "jaro_winkler", "components",
         "dedup_window", "confidence_penalty", "canonical_fd",
+        "purity", "ensemble", "label_prop", "stream_fusion",
     ]:
         run(name, qs[name])
 
