@@ -534,13 +534,21 @@ def q_simhash_dedup(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
+    """IVF ANN with EXPLICIT centroids (the first 16 corpus vectors) so
+    the assignment is a pure broadcast-join plan and the DuckDB oracle
+    probes IDENTICAL cells — value-checkable end-to-end, not rows-only
+    (both engines fold the cosine sums sequentially over IEEE doubles,
+    so the rankings agree)."""
     from entity_resolver_spark.operators.ann import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     q = emb.where("vec_id < 20").selectExpr("vec_id as query_id", "embedding")
-    out = ivf_topk(emb, q, k=10, n_cells=16, nprobe=4)
+    cents = emb.where("vec_id < 16").select(
+        F.col("vec_id").cast("int").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    out = ivf_topk(emb, q, k=10, nprobe=4, centroids=cents)
     return out.select("query_id", "nn_id", F.round("cosine", 5).alias("cosine"), "rk")
 
 
@@ -568,10 +576,19 @@ def q_embedding_dedup(spark, sf_dir):
 
 
 def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing fingerprint in PORTABLE-hash mode (poly_hash_expr —
+    the (h*31+c)%p fold DuckDB reproduces exactly), so the oracle
+    value-checks the fingerprint content (size + element sum), not just
+    row counts. Production default stays xxhash64."""
     from entity_resolver_spark.operators.textstats import fingerprint_expr
 
     docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.size(fingerprint_expr(F.col("text"))).alias("fp_size"))
+    fp = fingerprint_expr(F.col("text"), portable=True)
+    return docs.select(
+        "doc_id",
+        F.size(fp).alias("fp_size"),
+        F.aggregate(fp, F.lit(0).cast("long"), lambda a, x: a + x).alias("fp_sum"),
+    )
 
 
 def q_entity_names(spark, sf_dir):
@@ -663,13 +680,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "entity_names": q_entity_names,
         "completeness": q_completeness,
+        "ivf_topk": q_ivf_topk,
+        "doc_fingerprint": q_doc_fingerprint,
         # rows-only (non-portable hashing / Arrow-only kernels / pipeline)
         "resolve_entities": q_resolve_entities,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
-        "ivf_topk": q_ivf_topk,
         "embedding_dedup": q_embedding_dedup,
-        "doc_fingerprint": q_doc_fingerprint,
         "media_features": q_media_features,
         "phonetic_block": q_phonetic_block,
     }
@@ -941,7 +958,7 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs
             )
             SELECT r.conv_id, r.cluster,
-                   CASE WHEN rk > 1 THEN name || ' #' || CAST(rk AS VARCHAR)
+                   CASE WHEN rk > 1 THEN name || chr(30) || '#' || CAST(rk AS VARCHAR)
                         ELSE name END AS canonical_text
             FROM r JOIN ranked USING (name, cluster)
         """,
@@ -1086,6 +1103,90 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY cos DESC, nn_id ASC) AS INT) AS rk
             FROM scored
             QUALIFY rk <= 10
+        """,
+        # ivf with EXPLICIT centroids (first 16 corpus vectors): both
+        # engines assign cells by (cosine desc, cell asc) ranking, so
+        # they probe identical cells — see q_ivf_topk
+        "ivf_topk": """
+            WITH cents AS (
+              SELECT CAST(vec_id AS INT) AS cell_id, embedding::DOUBLE[] AS centroid
+              FROM embeddings WHERE vec_id < 16
+            ),
+            corpus_cells AS (
+              SELECT vec_id AS nn_id, cv, cell_id AS cell FROM (
+                SELECT c.vec_id, c.embedding::DOUBLE[] AS cv, s.cell_id,
+                       row_number() OVER (
+                         PARTITION BY c.vec_id
+                         ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], s.centroid) DESC,
+                                  s.cell_id ASC) AS crk
+                FROM embeddings c, cents s
+              ) WHERE crk = 1
+            ),
+            query_cells AS (
+              SELECT vec_id AS query_id, qv, cell_id AS cell FROM (
+                SELECT c.vec_id, c.embedding::DOUBLE[] AS qv, s.cell_id,
+                       row_number() OVER (
+                         PARTITION BY c.vec_id
+                         ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], s.centroid) DESC,
+                                  s.cell_id ASC) AS crk
+                FROM embeddings c, cents s
+                WHERE c.vec_id < 20
+              ) WHERE crk <= 4
+            ),
+            scored AS (
+              SELECT q.query_id, c.nn_id,
+                     max(list_cosine_similarity(c.cv, q.qv)) AS cos
+              FROM corpus_cells c JOIN query_cells q USING (cell)
+              WHERE c.nn_id != q.query_id
+              GROUP BY q.query_id, c.nn_id
+            )
+            SELECT query_id, nn_id, round(cos, 5) AS cosine,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, nn_id ASC) AS INT) AS rk
+            FROM scored
+            QUALIFY rk <= 10
+        """,
+        # winnowing with the portable (h*31+c)%p gram hash — exact
+        # value parity with textstats.poly_hash_expr (see q_doc_fingerprint)
+        "doc_fingerprint": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(
+                         lower(regexp_replace(text, '[^a-zA-Z0-9'' ]', ' ', 'g')),
+                         '\\s+'),
+                       t -> length(t) > 0) AS words
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) >= 3 THEN
+                       list_transform(range(1, len(words) - 1),
+                                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                     ELSE [list_aggregate(words, 'string_agg', ' ')] END AS grams
+              FROM w
+            ),
+            h AS (
+              SELECT doc_id,
+                     list_transform(grams, s ->
+                       CASE WHEN s IS NULL OR length(s) = 0 THEN 0
+                       ELSE list_reduce(
+                         list_transform(range(1, length(s) + 1),
+                                        i -> CAST(ascii(substring(s, i, 1)) AS BIGINT)),
+                         (a, b) -> (a * 31 + b) % 1000000007)
+                       END) AS gh
+              FROM g
+            ),
+            fp AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(
+                       list_transform(range(0, greatest(len(gh) - 8, 0) + 1),
+                                      i -> list_min(gh[i+1 : i+8])))) AS f
+              FROM h
+            )
+            SELECT doc_id, CAST(len(f) AS INT) AS fp_size,
+                   CAST(list_aggregate(f, 'sum') AS BIGINT) AS fp_sum
+            FROM fp
         """,
         "join_agg_topn": """
             WITH rev AS (

@@ -128,12 +128,22 @@ class ScoringConfig(BaseModel):
 
 
 class ClusteringConfig(BaseModel):
-    """Connected components (reference: graph.py:137-230 + G4/G5 collapsed)."""
+    """Connected components (reference: graph.py:137-230) plus the
+    density-aware bridge-breaking pass (reference Louvain + purity
+    ensemble, clusterer.py:400-413,599-937 — run in every reference
+    fit via resolver.py:432-436)."""
 
     model_config = ConfigDict(extra="forbid")
 
     max_iterations: int = 20
     checkpoint_every: int = 1
+    # G4/G8: split components that fused two dense families through one
+    # spurious above-threshold edge — weighted LPA inside each large
+    # component + ensemble rescue of tiny fragments
+    break_bridges: bool = True
+    bridge_min_component: int = 8   # components below this are never split
+    bridge_max_iter: int = 8        # LPA round budget
+    bridge_min_community: int = 2   # smaller LPA fragments get rescued/singled
 
 
 class RefinementConfig(BaseModel):
@@ -182,8 +192,14 @@ class ValidationConfig(BaseModel):
     model_config = ConfigDict(extra="forbid")
 
     enforce_unique_entity: bool = True    # Q1 gate (utils/validation.py:48-90)
-    split_on_tool_conflict: bool = False  # transcript analog of state splits
-    max_ts_gap_days: int | None = None    # wide time-range split (off by default)
+    # Q3/Q4 analogs ON by default — the reference applies its state /
+    # street-range compatibility splits in EVERY fit (validator.py:
+    # 87-141, refiner.py:423-589). Tool split fires only on true
+    # DISJOINTNESS from the cluster's modal tool set (a member whose
+    # tools are a subset — e.g. a truncated duplicate — never splits);
+    # 365d covers any legitimate duplicate-contact spread.
+    split_on_tool_conflict: bool = True   # transcript analog of state splits
+    max_ts_gap_days: int | None = 365     # wide time-range split
 
 
 class ConfidenceConfig(BaseModel):

@@ -96,6 +96,25 @@ def _assign_cells_udf(centroids: np.ndarray, nprobe: int):
     return assign
 
 
+def _sql_cell_assign(
+    df: DataFrame, cents: DataFrame, id_alias: str, vec_alias: str, nprobe: int
+) -> DataFrame:
+    """Nearest-cell assignment as a pure DataFrame plan: broadcast
+    crossJoin against the (bounded, n_cells-row) centroid table, exact
+    cosine, window top-nprobe. Deterministic ties: cosine desc, cell
+    asc — the exact ranking an ANSI-SQL oracle reproduces."""
+    from entity_resolver_spark.functions.similarity import dense_cosine_expr
+
+    w = W.partitionBy(id_alias).orderBy(F.col("__csim").desc(), F.col("cell_id").asc())
+    return (
+        df.crossJoin(F.broadcast(cents))
+        .withColumn("__csim", dense_cosine_expr(F.col(vec_alias), F.col("centroid")))
+        .withColumn("__crk", F.row_number().over(w))
+        .where(F.col("__crk") <= nprobe)
+        .select(id_alias, vec_alias, F.col("cell_id").alias("cell"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -106,23 +125,44 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors live in their single nearest cell;
     each query probes its nprobe nearest cells; exact cosine + window
-    top-k inside the probed cells only."""
+    top-k inside the probed cells only.
+
+    centroids(cell_id, centroid) optional: explicit cells. With them,
+    assignment runs as a pure broadcast-join + window plan whose
+    arithmetic (sequential fold, IEEE doubles) an ANSI-SQL engine
+    reproduces bit-for-bit — this is what makes the driver's DuckDB
+    oracle probe IDENTICAL cells and value-check the result. Without
+    them, centroids are seeded samples and assignment is the
+    Arrow-batched NumPy matmul (the scale path: one closure constant,
+    no join)."""
     from entity_resolver_spark.functions.similarity import dense_cosine_expr
 
-    cents = ivf_centroids(corpus, n_cells, id_col, vec_col, seed).collect()
-    cmat = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cents])
-    assign1 = _assign_cells_udf(cmat, 1)
-    assignp = _assign_cells_udf(cmat, nprobe)
+    if centroids is not None:
+        cents = centroids.select("cell_id", "centroid")
+        c = _sql_cell_assign(
+            corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("cv")),
+            cents, "nn_id", "cv", 1,
+        )
+        q = _sql_cell_assign(
+            queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+            cents, "query_id", "qv", nprobe,
+        )
+    else:
+        rows = ivf_centroids(corpus, n_cells, id_col, vec_col, seed).collect()
+        cmat = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+        assign1 = _assign_cells_udf(cmat, 1)
+        assignp = _assign_cells_udf(cmat, nprobe)
 
-    c = corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("cv")).withColumn(
-        "cell", F.element_at(assign1(F.col("cv")), 1)
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("cell", F.explode(assignp(F.col("qv"))))
+        c = corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("cv")).withColumn(
+            "cell", F.element_at(assign1(F.col("cv")), 1)
+        )
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ).withColumn("cell", F.explode(assignp(F.col("qv"))))
     scored = (
         c.join(q, "cell")
         .where(F.col("nn_id") != F.col("query_id"))

@@ -140,7 +140,17 @@ def blocking_keys(
     # first N words; catches typo families whose every token shifted
     # (no shared rare token, churned bigrams) as long as the
     # misspellings sound alike
-    if cfg.phonetic and "norm_text" in records.columns:
+    if cfg.phonetic:
+        # same contract as C4: a configured-on channel with its source
+        # column missing RAISES — an upstream rename/drop must never
+        # silently disable a recall channel (set phonetic=False to
+        # disable deliberately)
+        if "norm_text" not in records.columns:
+            raise ValueError(
+                "blocking.phonetic=True but 'norm_text' is absent from the "
+                f"records frame (columns: {records.columns}); pass "
+                "phonetic=False to disable the C5 channel deliberately"
+            )
         from entity_resolver_spark.functions.phonetics import make_metaphone_udf
 
         # substring cap: the UDF only reads the first N words, so don't

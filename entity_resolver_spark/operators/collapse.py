@@ -24,8 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# separator between turns in the collapsed document; \x1e = ASCII
-# record separator, cannot occur in normal text
+# \x1e = ASCII record separator: the repo's one reserved character.
+# Normalization folds all C0 controls to space (normalize.py), so it
+# can never occur in normalized/canonical text — validate.py uses it
+# as the collision-free Q2 repair separator.
 TURN_SEP = "\x1e"
 
 

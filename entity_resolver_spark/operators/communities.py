@@ -154,7 +154,18 @@ def ensemble_clusters(
         F.col("label_a").alias(secondary_col),
         F.col("best_match").alias("__mapped_primary"),
     )
-    df = assignments.join(F.broadcast(mapping), secondary_col, "left")
+    # mapping/mint tables are secondary-group-count-sized (unbounded at
+    # scale) — same broadcast gate as the refinement passes
+    from entity_resolver_spark.operators.refine import (
+        MAP_BROADCAST_CAP,
+        _materialize,
+        _maybe_broadcast,
+    )
+
+    mapping, n_map = _materialize(mapping)
+    df = assignments.join(
+        _maybe_broadcast(mapping, n_map, MAP_BROADCAST_CAP), secondary_col, "left"
+    )
     is_noise = (
         F.col(primary_col) == F.lit(noise) if noise is not None else F.lit(False)
     )
@@ -170,7 +181,10 @@ def ensemble_clusters(
         .where(F.col("__n_noise") >= min_new_cluster)
         .select(secondary_col, F.lit(True).alias("__mint"))
     )
-    df = df.join(F.broadcast(mint_sizes), secondary_col, "left")
+    mint_sizes, n_mint = _materialize(mint_sizes)
+    df = df.join(
+        _maybe_broadcast(mint_sizes, n_mint, MAP_BROADCAST_CAP), secondary_col, "left"
+    )
     return df.select(
         F.col(id_col).alias("id"),
         F.when(~is_noise, F.col(primary_col).cast("string"))
@@ -181,4 +195,99 @@ def ensemble_clusters(
         )
         .otherwise(F.col(primary_col).cast("string"))
         .alias("cluster"),
+    )
+
+
+# sentinel for "tiny LPA fragment" in the ensemble's primary labeling;
+# \x1e cannot survive normalization (normalize.py folds C0 controls to
+# space), so it can never collide with a real cluster id
+_BRIDGE_NOISE = "\x1e__fragment__"
+
+
+def break_bridges(
+    records: DataFrame,
+    edges: DataFrame,
+    cluster_col: str = "cluster",
+    min_component: int = 8,
+    max_iter: int = 8,
+    min_community: int = 2,
+    purity_min: float = 0.5,
+) -> DataFrame:
+    """Split bridge-fused clusters (the reference's Louvain+ensemble
+    role, clusterer.py:400-413,599-937, invoked from resolver.py:
+    432-436): G2 components fuse two dense duplicate families through a
+    single spurious above-threshold edge; density-aware communities
+    separate them.
+
+    Shape: only clusters with >= min_component members are touched (a
+    genuine duplicate family below that can't hide two families worth
+    splitting). Within each such cluster, run weighted semi-synchronous
+    LPA over its INTERNAL scored match edges — labels can only
+    propagate along intra-cluster edges, so LPA communities never span
+    clusters and the relabel is a per-cluster partition. Then reconcile
+    with the ensemble exactly as the reference does: communities of
+    >= min_community members become clusters; smaller fragments are
+    marked noise and RESCUED into their original cluster's dominant
+    community via the purity mapping (minting is disabled — an
+    unrescued fragment becomes its own singleton, eligible for the
+    reassignment pass downstream).
+
+    Cost: one size agg + two label joins + O(E_big) per LPA round,
+    where E_big is the edge count inside large clusters only.
+    """
+    sizes = records.groupBy(cluster_col).agg(F.count("*").alias("__n"))
+    big = sizes.where(F.col("__n") >= min_component).select(cluster_col)
+    members = (
+        records.join(big, cluster_col)
+        .select("conv_id", cluster_col)
+        .localCheckpoint(eager=True)
+    )
+    if members.isEmpty():
+        return records
+    lab_a = members.select(F.col("conv_id").alias("src"), F.col(cluster_col).alias("__ca"))
+    lab_b = members.select(F.col("conv_id").alias("dst"), F.col(cluster_col).alias("__cb"))
+    internal = (
+        edges.join(lab_a, "src")
+        .join(lab_b, "dst")
+        .where(F.col("__ca") == F.col("__cb"))
+        .select("src", "dst", F.col("score").alias("weight"))
+    )
+    comm = label_propagation(internal, max_iter=max_iter)  # (id, community)
+    csizes = comm.groupBy("community").agg(F.count("*").alias("__cn"))
+    assignments = (
+        members.withColumnRenamed("conv_id", "id")
+        .join(comm, "id", "left")
+        .join(csizes, "community", "left")
+        .select(
+            "id",
+            F.when(
+                F.col("community").isNotNull() & (F.col("__cn") >= min_community),
+                F.col("community").cast("string"),
+            )
+            .otherwise(F.lit(_BRIDGE_NOISE))
+            .alias("primary"),
+            F.col(cluster_col).cast("string").alias("secondary"),
+        )
+    )
+    new_labels = ensemble_clusters(
+        assignments,
+        noise=_BRIDGE_NOISE,
+        purity_min=purity_min,
+        min_overlap=min_community,
+        min_new_cluster=1 << 31,  # minting off: fragments fall through
+    ).select(
+        F.col("id").alias("conv_id"),
+        # unrescued fragments become their own singleton (deterministic:
+        # own conv_id), same convention as eviction
+        F.when(F.col("cluster") == _BRIDGE_NOISE, F.col("id"))
+        .otherwise(F.col("cluster"))
+        .alias("__bb"),
+    )
+    return (
+        records.join(new_labels, "conv_id", "left")
+        .withColumn(
+            cluster_col,
+            F.coalesce(F.col("__bb"), F.col(cluster_col).cast("string")),
+        )
+        .drop("__bb")
     )

@@ -39,15 +39,13 @@ def derive_fitted_state(
     from entity_resolver_spark.operators.vectorize import idf_table
 
     # state re-tokenized from its stored norm_text (state is a table,
-    # not a model): unigrams + bigrams, exactly like normalize_docs
-    state_norm = resolved.select(
-        "conv_id", "cluster", "norm_text"
-    ).withColumn(
-        "match_tokens",
-        F.expr("array_distinct(concat(split(norm_text, ' '), "
-               "filter(zip_with(split(norm_text,' '), slice(split(norm_text,' '), 2, "
-               "greatest(size(split(norm_text,' '))-1, 1)), (a,b) -> concat(a,'_',b)), "
-               "x -> x is not null)))"),
+    # not a model) with the SAME expression fit uses — one source of
+    # truth: if normalize.match_tokens_expr changes, transform-side
+    # vectors change with it instead of silently diverging
+    from entity_resolver_spark.operators.normalize import match_tokens_expr
+
+    state_norm = resolved.select("conv_id", "cluster", "norm_text").withColumn(
+        "match_tokens", match_tokens_expr(F.col("norm_text"))
     )
     fitted_idf = idf_table(state_norm, "match_tokens").localCheckpoint(eager=True)
     state_vec = add_tfidf_vectors(

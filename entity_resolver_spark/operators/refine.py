@@ -30,6 +30,62 @@ from entity_resolver_spark.functions.similarity import (
 )
 from entity_resolver_spark.operators.components import connected_components
 
+# ---------------------------------------------------------------------------
+# broadcast size gates (scale discipline)
+#
+# Every table these passes broadcast scales with CLUSTER count, which is
+# unbounded at the 100TB target (~10^7-10^8 clusters for 10^9 records).
+# An unconditional F.broadcast hint OOMs the driver there, and Catalyst
+# cannot gate it itself: localCheckpoint'ed inputs are LogicalRDD scans
+# with no size stats. So every broadcast below goes through
+# _maybe_broadcast with a measured row count — profiles are materialized
+# (localCheckpoint) before counting, which the passes want anyway
+# because each profile table feeds 2+ consumers. Above the cap the hint
+# is dropped and Catalyst/AQE plans a shuffle join.
+#
+# Two caps because the row weights differ by ~2 orders of magnitude:
+# profile rows carry centroid slot/value arrays (~1-4KB each), slim
+# id->id remap rows are tens of bytes. Module-level so tests can
+# monkeypatch them to force (and assert) the shuffle-join path.
+# ---------------------------------------------------------------------------
+
+PROFILE_BROADCAST_CAP = 200_000   # rows with centroid arrays (~0.5GB worst case)
+MAP_BROADCAST_CAP = 2_000_000     # slim id->id / id->label maps
+
+# Stop-key cap for profile-side join keys (top-TFIDF-slot keys and
+# canonical-text prefix keys). A key covering more profiles than this
+# carries no discrimination — it is a degenerate corpus-wide slot or a
+# generic shared opening — and only creates a quadratic hot key in the
+# candidate join (the same argument as blocking.py's stop_key_fraction).
+SLOT_KEY_CAP = 2_000
+STRING_KEY_CAP = 500
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int, cap: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= cap else df
+
+
+def _materialize(df: DataFrame) -> tuple[DataFrame, int]:
+    """localCheckpoint + count: the pattern every refinement pass uses to
+    (a) stop plan re-execution across its 2+ consumers and (b) learn the
+    row count that gates broadcast decisions."""
+    out = df.localCheckpoint(eager=True)
+    return out, out.count()
+
+
+def _drop_hot_keys(keyed: DataFrame, key_col: str, cap: int) -> DataFrame:
+    """Remove join keys covering more than `cap` rows (stop-key filter,
+    reference analog: TF-IDF max_df schema.py:583-585). The count table
+    is key-cardinality-sized; AQE picks its join strategy from runtime
+    stats."""
+    good = (
+        keyed.groupBy(key_col)
+        .agg(F.count("*").alias("__kc"))
+        .where(F.col("__kc") <= cap)
+        .select(key_col)
+    )
+    return keyed.join(good, key_col)
+
 
 # ---------------------------------------------------------------------------
 # cluster profiles
@@ -90,10 +146,14 @@ def merge_clusters_vector(
     with exact sparse cosine; merged via connected components; relabel
     = min cluster id (largest-wins determinism is subsumed because ids
     are min member ids)."""
-    prof = cluster_profiles(records, cluster_col)
-    keyed = prof.select(
-        F.col(cluster_col).alias("c"), "c_idx", "c_val",
-        F.explode(_top_slot_keys(F.col("c_idx"), F.col("c_val"), top_slots)).alias("k"),
+    prof, _ = _materialize(cluster_profiles(records, cluster_col))
+    keyed = _drop_hot_keys(
+        prof.select(
+            F.col(cluster_col).alias("c"), "c_idx", "c_val",
+            F.explode(_top_slot_keys(F.col("c_idx"), F.col("c_val"), top_slots)).alias("k"),
+        ),
+        "k",
+        SLOT_KEY_CAP,
     )
     a = keyed.select(F.col("k"), F.col("c").alias("ca"), F.col("c_idx").alias("ia"), F.col("c_val").alias("va"))
     b = keyed.select(F.col("k"), F.col("c").alias("cb"), F.col("c_idx").alias("ib"), F.col("c_val").alias("vb"))
@@ -121,18 +181,50 @@ def merge_clusters_string(
     """Merge clusters whose canonical texts are near-identical under
     BOTH Jaro-Winkler and normalized Levenshtein (the reference ANDs
     its name-edge and address-edge lists, merger.py:257-265).
-    Candidates share a canonical-text prefix-token key."""
+
+    Candidate keys — two channels, both stop-key capped (transcript
+    canonicals routinely share generic openings, so a raw prefix key
+    alone is a quadratic hot key on 'hello i need help with...'-style
+    corpora):
+      * 16-char canonical prefix, keys covering > STRING_KEY_CAP
+        clusters dropped;
+      * the 3 rarest canonical tokens by cluster-level df (2 <= df <=
+        STRING_KEY_CAP) — near-identical strings share their rare
+        tokens even when a hot prefix key was dropped, so capping the
+        prefix channel loses no family-sized recall (same discipline
+        as blocking.py's C3)."""
     from entity_resolver_spark.operators.canonical import canonical_by_frequency
 
-    canon = canonical_by_frequency(records, cluster_col)
-    keyed = canon.withColumn(
-        "k", F.substring(F.col("canonical_text"), 1, 16)
+    canon, _ = _materialize(canonical_by_frequency(records, cluster_col))
+    prefix_keys = canon.select(
+        cluster_col,
+        F.concat(F.lit("p:"), F.substring(F.col("canonical_text"), 1, 16)).alias("k"),
     )
+    tok = canon.select(
+        cluster_col,
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split("canonical_text", " "), lambda t: F.length(t) >= 2)
+            )
+        ).alias("token"),
+    )
+    tok_df = tok.groupBy("token").agg(F.count("*").alias("__df"))
+    rare_rank = W.partitionBy(cluster_col).orderBy(F.col("__df").asc(), F.col("token").asc())
+    rare_keys = (
+        tok.join(tok_df.where((F.col("__df") >= 2) & (F.col("__df") <= STRING_KEY_CAP)), "token")
+        .withColumn("__rk", F.row_number().over(rare_rank))
+        .where(F.col("__rk") <= 3)
+        .select(cluster_col, F.concat(F.lit("t:"), F.col("token")).alias("k"))
+    )
+    keyed = _drop_hot_keys(
+        prefix_keys.unionByName(rare_keys), "k", STRING_KEY_CAP
+    ).join(canon, cluster_col)
     a = keyed.select(F.col("k"), F.col(cluster_col).alias("ca"), F.col("canonical_text").alias("ta"))
     b = keyed.select(F.col("k"), F.col(cluster_col).alias("cb"), F.col("canonical_text").alias("tb"))
     cand = (
         a.join(b, "k")
         .where(F.col("ca") < F.col("cb"))
+        .dropDuplicates(["ca", "cb"])  # a pair can arrive via several keys
         .withColumn("jw", jw_expr(F.col("ta"), F.col("tb")))
         .withColumn("lev", lev_sim_expr(F.col("ta"), F.col("tb")))
         .where((F.col("jw") >= jw_floor) & (F.col("lev") >= lev_floor))
@@ -145,11 +237,11 @@ def _apply_merge(records: DataFrame, merge_edges: DataFrame, cluster_col: str) -
     if merge_edges.isEmpty():
         return records
     labels = connected_components(merge_edges)
-    remap = labels.withColumnRenamed("node", cluster_col).withColumnRenamed(
-        "component", "__m"
+    remap, n_remap = _materialize(
+        labels.withColumnRenamed("node", cluster_col).withColumnRenamed("component", "__m")
     )
     return (
-        records.join(F.broadcast(remap), cluster_col, "left")
+        records.join(_maybe_broadcast(remap, n_remap, MAP_BROADCAST_CAP), cluster_col, "left")
         .withColumn(cluster_col, F.coalesce(F.col("__m"), F.col(cluster_col)))
         .drop("__m")
     )
@@ -187,9 +279,11 @@ def evict_outliers(
     always evicts (reference override 1, validator.py:450-453).
     Evicted records become their own singleton cluster (own conv_id —
     deterministic), eligible for reassignment."""
-    prof = cluster_profiles(records, cluster_col).select(cluster_col, "c_idx", "c_val", "size")
+    prof, n_prof = _materialize(
+        cluster_profiles(records, cluster_col).select(cluster_col, "c_idx", "c_val", "size")
+    )
     scored = (
-        records.join(F.broadcast(prof), cluster_col)
+        records.join(_maybe_broadcast(prof, n_prof, PROFILE_BROADCAST_CAP), cluster_col)
         .withColumn(
             "__cos",
             sparse_cosine_udf(F.col("vec_idx"), F.col("vec_val"), F.col("c_idx"), F.col("c_val")),
@@ -212,10 +306,14 @@ def evict_outliers(
     suspects = voted.where(F.col("__v1") | F.col("__v2")).select(
         "conv_id", cluster_col, "vec_idx", "vec_val", "__cos"
     )
-    pkeys = prof.select(
-        F.col(cluster_col).alias("__alt_cluster"), F.col("c_idx").alias("a_idx"),
-        F.col("c_val").alias("a_val"),
-        F.explode(_top_slot_keys(F.col("c_idx"), F.col("c_val"), 4)).alias("k"),
+    pkeys = _drop_hot_keys(
+        prof.select(
+            F.col(cluster_col).alias("__alt_cluster"), F.col("c_idx").alias("a_idx"),
+            F.col("c_val").alias("a_val"),
+            F.explode(_top_slot_keys(F.col("c_idx"), F.col("c_val"), 4)).alias("k"),
+        ),
+        "k",
+        SLOT_KEY_CAP,
     )
     skeys = suspects.select(
         "conv_id", cluster_col, "vec_idx", "vec_val",
@@ -239,8 +337,12 @@ def evict_outliers(
             & (F.col("__alt_cos") >= F.col("__cos") - margin_floor)
         ).alias("__v3"),
     )
+    # v3 has one row per suspect — unbounded by construction on skewed
+    # data, so NO broadcast hint (AQE decides from its runtime size;
+    # the reference bounds the analogous subset by sampling,
+    # validator.py:805-815)
     out = (
-        voted.join(F.broadcast(v3), "conv_id", "left")
+        voted.join(v3, "conv_id", "left")
         .fillna({"__v3": False})
         .withColumn(
             "__evict",
@@ -305,12 +407,15 @@ def reassign_singletons(
     if singles.isEmpty() or multi.isEmpty():
         return records
 
-    prof = cluster_profiles(multi, cluster_col)
+    prof, n_prof = _materialize(cluster_profiles(multi, cluster_col))
     # avg member->centroid cosine per cluster (reference avg_probability
     # analog, validator.py:1435) — one bounded pass over multi members
     member_q = (
         multi.join(
-            F.broadcast(prof.select(cluster_col, "c_idx", "c_val")), cluster_col
+            _maybe_broadcast(
+                prof.select(cluster_col, "c_idx", "c_val"), n_prof, PROFILE_BROADCAST_CAP
+            ),
+            cluster_col,
         )
         .withColumn(
             "__mc",
@@ -320,10 +425,14 @@ def reassign_singletons(
         .agg(F.avg("__mc").alias("avg_member_cos"))
     )
     prof = prof.join(member_q, cluster_col)
-    pkeys = prof.select(
-        F.col(cluster_col).alias("cand_cluster"), "c_idx", "c_val", "size",
-        "avg_member_cos",
-        F.explode(_top_slot_keys(F.col("c_idx"), F.col("c_val"), 4)).alias("k"),
+    pkeys = _drop_hot_keys(
+        prof.select(
+            F.col(cluster_col).alias("cand_cluster"), "c_idx", "c_val", "size",
+            "avg_member_cos",
+            F.explode(_top_slot_keys(F.col("c_idx"), F.col("c_val"), 4)).alias("k"),
+        ),
+        "k",
+        SLOT_KEY_CAP,
     )
     skeys = singles.select(
         "conv_id", "vec_idx", "vec_val",
@@ -377,8 +486,9 @@ def reassign_singletons(
         )
         .select("conv_id", F.col("cand_cluster").alias("__new"))
     )
+    assign, n_assign = _materialize(assign)
     return (
-        records.join(F.broadcast(assign), "conv_id", "left")
+        records.join(_maybe_broadcast(assign, n_assign, MAP_BROADCAST_CAP), "conv_id", "left")
         .withColumn(cluster_col, F.coalesce(F.col("__new"), F.col(cluster_col)))
         .drop("__new")
     )
@@ -404,12 +514,14 @@ def enrich_metadata(
     w = W.partitionBy(cluster_col).orderBy(
         F.col("__f").desc(), F.col("tools").asc()
     )
-    donor = (
+    donor, n_donor = _materialize(
         freq.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") == 1)
         .select(cluster_col, F.col("tools").alias("__donor_tools"))
     )
-    out = records.join(F.broadcast(donor), cluster_col, "left")
+    out = records.join(
+        _maybe_broadcast(donor, n_donor, MAP_BROADCAST_CAP), cluster_col, "left"
+    )
     enriched = (F.size("tools") == 0) & F.col("__donor_tools").isNotNull()
     return (
         out.withColumn("metadata_was_enriched", enriched)

@@ -16,13 +16,22 @@ from pyspark.sql import functions as F
 
 
 def summary_report(resolved: DataFrame) -> dict:
-    """One pass of aggregations -> the reference's report dict."""
+    """One pass of aggregations -> the reference's report dict
+    (reporter.py:87-148, including the describe()-style distributional
+    stats of reporter.py:106-108)."""
+    qs = [0.25, 0.5, 0.75]
     totals = resolved.agg(
         F.count("*").alias("total_records"),
         F.countDistinct("norm_text").alias("unique_before"),
         F.countDistinct("cluster").alias("unique_after"),
         F.sum(F.col("needs_review").cast("int")).alias("needs_review"),
         F.avg("confidence_score").alias("avg_confidence"),
+        F.coalesce(F.stddev("confidence_score"), F.lit(0.0)).alias("std_confidence"),
+        F.min("confidence_score").alias("min_confidence"),
+        F.max("confidence_score").alias("max_confidence"),
+        # record-scale column -> approximate percentiles (one pass,
+        # mergeable sketch; exact would sort the full record table)
+        F.percentile_approx("confidence_score", qs).alias("q_confidence"),
     ).first()
     sizes = (
         resolved.groupBy("cluster")
@@ -33,6 +42,12 @@ def summary_report(resolved: DataFrame) -> dict:
             F.sum(((F.col("n") >= 6) & (F.col("n") <= 20)).cast("int")).alias("medium_6_20"),
             F.sum((F.col("n") > 20).cast("int")).alias("large_over_20"),
             F.max("n").alias("max_cluster_size"),
+            F.min("n").alias("min_cluster_size"),
+            F.avg("n").alias("mean_cluster_size"),
+            F.coalesce(F.stddev("n"), F.lit(0.0)).alias("std_cluster_size"),
+            # cluster-size domain is small integers -> exact percentile
+            # aggregates by value, no global sort
+            F.percentile("n", F.array(*[F.lit(q) for q in qs])).alias("q_size"),
         )
         .first()
     )
@@ -61,6 +76,27 @@ def summary_report(resolved: DataFrame) -> dict:
             "6-20": int(sizes["medium_6_20"] or 0),
             ">20": int(sizes["large_over_20"] or 0),
             "max": int(sizes["max_cluster_size"] or 0),
+        },
+        # describe()-style distributional stats (reporter.py:106-108)
+        "cluster_size_stats": {
+            "count": ua,
+            "mean": round(float(sizes["mean_cluster_size"] or 0.0), 6),
+            "std": round(float(sizes["std_cluster_size"] or 0.0), 6),
+            "min": int(sizes["min_cluster_size"] or 0),
+            "25%": float(sizes["q_size"][0]) if sizes["q_size"] else 0.0,
+            "50%": float(sizes["q_size"][1]) if sizes["q_size"] else 0.0,
+            "75%": float(sizes["q_size"][2]) if sizes["q_size"] else 0.0,
+            "max": int(sizes["max_cluster_size"] or 0),
+        },
+        "confidence_stats": {
+            "count": totals["total_records"],
+            "mean": round(float(totals["avg_confidence"] or 0.0), 6),
+            "std": round(float(totals["std_confidence"] or 0.0), 6),
+            "min": float(totals["min_confidence"] or 0.0),
+            "25%": float(totals["q_confidence"][0]) if totals["q_confidence"] else 0.0,
+            "50%": float(totals["q_confidence"][1]) if totals["q_confidence"] else 0.0,
+            "75%": float(totals["q_confidence"][2]) if totals["q_confidence"] else 0.0,
+            "max": float(totals["max_confidence"] or 0.0),
         },
         "review_reasons": reasons,
     }

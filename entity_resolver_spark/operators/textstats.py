@@ -103,10 +103,29 @@ def lang_id_expr(text: Column) -> Column:
     return F.when(best["hits"] >= 2, best["code"]).otherwise(F.lit("und"))
 
 
-def fingerprint_expr(text: Column, window: int = 8) -> Column:
-    """Winnowing-style document fingerprint: min xxhash64 over each
-    sliding window of word 3-grams, collected as a sorted distinct
-    array — robust to small edits, SQL-only."""
+def poly_hash_expr(s: Column, mod: int = 1_000_000_007) -> Column:
+    """Deterministic polynomial string hash ((h*31 + codepoint) % mod
+    folded over the characters) — an engine-portable alternative to
+    xxhash64: DuckDB computes the identical value with
+    list_reduce(list_transform(range, ascii), ...), which is what makes
+    the fingerprint oracle value-checkable. substr-per-index costs
+    O(len^2), so use on short grams only (the winnowing 3-grams are
+    ~20 chars)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+        F.lit(0).cast("long"),
+        lambda acc, i: F.pmod(acc * 31 + F.ascii(s.substr(i, F.lit(1))), F.lit(mod)),
+    )
+
+
+def fingerprint_expr(text: Column, window: int = 8, portable: bool = False) -> Column:
+    """Winnowing-style document fingerprint: min hash over each sliding
+    window of word 3-grams, collected as a sorted distinct array —
+    robust to small edits, SQL-only. portable=True swaps xxhash64 for
+    poly_hash_expr so a DuckDB oracle reproduces the exact values
+    (xxhash64 exists only in Spark); the default stays xxhash64 — far
+    better dispersion and O(len) per gram — for production use."""
+    gram_hash = poly_hash_expr if portable else F.xxhash64
     words = words_expr(text)
     # zip_with chain (O(n)) instead of element_at-by-index (O(n^2))
     s2 = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(1)))
@@ -120,8 +139,8 @@ def fingerprint_expr(text: Column, window: int = 8) -> Column:
         lambda x: x.isNotNull(),
     )
     grams = F.when(
-        F.size(words) >= 3, F.transform(tri, lambda g: F.xxhash64(g))
-    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", words))))
+        F.size(words) >= 3, F.transform(tri, lambda g: gram_hash(g))
+    ).otherwise(F.array(gram_hash(F.concat_ws(" ", words))))
     mins = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(grams) - window, F.lit(0))),
         lambda i: F.array_min(F.slice(grams, i + 1, window)),

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from entity_resolver_spark.operators.collapse import TURN_SEP
 from entity_resolver_spark.operators.components import connected_components
 
 
@@ -73,9 +74,13 @@ def enforce_canonical_fd(
     clusters CAN converge to the same canonical text (reference gate:
     utils/validation.py:124-161, invoked resolver.py:475). Deterministic
     tiebreak: rank the offending clusters by min member conv_id and
-    suffix every cluster after the first with ' #<rank>' (A14 chain
-    numbering) — the first keeps the unmodified canonical text. Cost is
-    one agg over (name, cluster) pairs, tiny vs the record table."""
+    suffix every cluster after the first with '<TURN_SEP>#<rank>' (A14
+    chain numbering) — the first keeps the unmodified canonical text.
+    TURN_SEP (\\x1e) is the reserved separator: normalization folds all
+    C0 controls to space (normalize.py), so no pre-existing canonical
+    text can contain it and the repaired name can never collide with a
+    real one (a plain ' #2' suffix could). Cost is one agg over
+    (name, cluster) pairs, tiny vs the record table."""
     pairs = records.groupBy(name_col, cluster_col).agg(
         F.min("conv_id").alias("__min_id")
     )
@@ -88,9 +93,9 @@ def enforce_canonical_fd(
     fix = ranked.where(F.col("__rank") > 1).select(
         name_col,
         cluster_col,
-        F.concat(F.col(name_col), F.lit(" #"), F.col("__rank").cast("string")).alias(
-            "__fixed_name"
-        ),
+        F.concat(
+            F.col(name_col), F.lit(TURN_SEP + "#"), F.col("__rank").cast("string")
+        ).alias("__fixed_name"),
     )
     if fix.isEmpty():
         return records
@@ -133,26 +138,30 @@ def split_on_metadata(
             .drop("__c_min", "__gap_bucket")
         )
     if tool_conflict:
-        # members whose tool sets are disjoint from the cluster's modal
-        # tool set get a split bucket
+        # members whose tool sets are DISJOINT from the cluster's modal
+        # tool SET get a split bucket. Disjointness (not mere absence of
+        # the single modal tool) is the safe transcript analog of the
+        # reference's multi-state split: a truncated duplicate whose
+        # tools are a subset of the family's still overlaps the modal
+        # set, while a genuinely different entity's tools don't.
         modal = (
-            out.select(cluster_col, F.explode_outer("tools").alias("t"))
-            .groupBy(cluster_col, "t")
+            out.where(F.size("tools") > 0)
+            .groupBy(cluster_col, "tools")
             .count()
             .groupBy(cluster_col)
-            .agg(F.max_by("t", "count").alias("__modal_tool"))
+            .agg(F.max_by("tools", F.struct("count", "tools")).alias("__modal_tools"))
         )
         out = (
             out.join(modal, cluster_col, "left")
             .withColumn(
                 cluster_col,
                 F.when(
-                    F.col("__modal_tool").isNotNull()
+                    F.col("__modal_tools").isNotNull()
                     & (F.size("tools") > 0)
-                    & (~F.array_contains("tools", F.col("__modal_tool"))),
+                    & ~F.arrays_overlap("tools", F.col("__modal_tools")),
                     F.concat_ws("#", F.col(cluster_col), F.lit("t")),
                 ).otherwise(F.col(cluster_col)),
             )
-            .drop("__modal_tool")
+            .drop("__modal_tools")
         )
     return out

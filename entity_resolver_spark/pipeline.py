@@ -184,6 +184,22 @@ class EntityResolverPipeline:
             out = attach_labels(
                 vectorized.drop("vec_blob"), labels
             ).localCheckpoint(eager=True)
+            # G4/G8: break single-edge bridges inside large components
+            # BEFORE the refinement passes (reference order — Louvain/
+            # ensemble run as part of clustering, resolver.py:432-436,
+            # eviction/merge after). Only components >= the size floor
+            # are touched, so the common all-small-families case costs
+            # one size aggregation.
+            if cfg.clustering.break_bridges:
+                from entity_resolver_spark.operators.communities import break_bridges
+
+                out = break_bridges(
+                    out,
+                    edges,
+                    min_component=cfg.clustering.bridge_min_component,
+                    max_iter=cfg.clustering.bridge_max_iter,
+                    min_community=cfg.clustering.bridge_min_community,
+                ).localCheckpoint(eager=True)
             ref = cfg.refinement
             if ref.evict_outliers:
                 out = evict_outliers(

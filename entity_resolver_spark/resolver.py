@@ -105,11 +105,54 @@ class SparkEntityResolver:
             df.write.mode("overwrite").parquet(os.path.join(path, f"fitted_{name}"))
         self.config.to_yaml(os.path.join(path, "config.yaml"))
         with open(os.path.join(path, "manifest.json"), "w") as f:
-            json.dump({"format": 2, "metrics": self.metrics}, f)
+            json.dump({"format": self._SAVE_FORMAT, "metrics": self.metrics}, f)
+
+    # config keys that existed in older save formats but were removed;
+    # load() strips them instead of letting extra='forbid' fail with an
+    # opaque pydantic error on a format-1 save dir
+    _REMOVED_CONFIG_KEYS: dict[int, tuple[str, ...]] = {
+        1: ("random_seed", "suffix_passes"),
+    }
+    _SAVE_FORMAT = 2
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "SparkEntityResolver":
-        obj = cls(ResolverConfig.from_yaml(os.path.join(path, "config.yaml")))
+        manifest_path = os.path.join(path, "manifest.json")
+        manifest: dict = {}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+        fmt = int(manifest.get("format", 1))
+        if fmt > cls._SAVE_FORMAT:
+            raise RuntimeError(
+                f"save dir {path!r} has format {fmt}, newer than this "
+                f"version's {cls._SAVE_FORMAT} — upgrade the library to load it"
+            )
+
+        import yaml
+
+        with open(os.path.join(path, "config.yaml")) as f:
+            data = yaml.safe_load(f) or {}
+        # migrate: drop keys removed since `fmt` (anywhere in the tree —
+        # older formats carried them at top level and per-section)
+        removed = {
+            k for v, keys in cls._REMOVED_CONFIG_KEYS.items() if v >= fmt for k in keys
+        }
+
+        def _strip(node):
+            if isinstance(node, dict):
+                return {k: _strip(v) for k, v in node.items() if k not in removed}
+            return node
+
+        try:
+            cfg = ResolverConfig.model_validate(_strip(data))
+        except Exception as e:
+            raise RuntimeError(
+                f"save dir {path!r} (format {fmt}) has a config.yaml this "
+                f"version cannot validate: {e}"
+            ) from e
+
+        obj = cls(cfg)
         obj.resolved_ = spark.read.parquet(os.path.join(path, "resolved"))
         fitted = {}
         for name in ("idf", "state_keys", "state_vec"):
@@ -118,8 +161,5 @@ class SparkEntityResolver:
                 fitted[name] = spark.read.parquet(d)
         if len(fitted) == 3:
             obj.fitted_ = fitted
-        manifest = os.path.join(path, "manifest.json")
-        if os.path.exists(manifest):
-            with open(manifest) as f:
-                obj.metrics = json.load(f).get("metrics", [])
+        obj.metrics = manifest.get("metrics", [])
         return obj

@@ -13,7 +13,27 @@ parquet, persistence.py:141-144).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+# multipart SQL identifier: 2-3 dot-separated name parts, each a plain
+# identifier. A bare relative filename like 'out.parquet' must NOT match
+# (its last part is a known data-file extension, and single-dot targets
+# are ambiguous enough to require the extension check).
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+_TABLE_RE = re.compile(rf"^{_IDENT}(\.{_IDENT}){{1,2}}$")
+_FILE_EXTS = {"parquet", "csv", "json", "orc", "avro", "txt", "tsv"}
+
+
+def looks_like_table(target: str) -> bool:
+    """True iff target reads as a catalog table identifier rather than a
+    path: no '/', matches a 2-3-part identifier, and the last part is
+    not a data-file extension (so 'out.parquet' writes parquet while
+    'catalog.db.tbl' and 'db.tbl' go to the table branch)."""
+    if "/" in target or not _TABLE_RE.match(target):
+        return False
+    return target.rsplit(".", 1)[1].lower() not in _FILE_EXTS
 
 
 def _iceberg_available(spark) -> bool:
@@ -31,20 +51,31 @@ def _iceberg_available(spark) -> bool:
 def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> str:
     """Write df to `target`.
 
-    target with '/' (or file scheme) -> parquet directory;
+    target with '/' (or a file extension) -> parquet directory;
     dotted identifier (catalog.db.table) -> Iceberg `writeTo` when the
     session has an Iceberg catalog, error otherwise (never silently
-    write a parquet dir where a table was requested).
-    Returns the sink kind actually used ('iceberg' | 'parquet').
+    write a parquet dir where a table was requested). mode is honored
+    on BOTH branches: overwrite -> createOrReplace, append -> append,
+    anything else on the table branch raises instead of silently
+    replacing. Returns the sink kind actually used ('iceberg' |
+    'parquet').
     """
-    looks_like_table = "/" not in target and "." in target
-    if looks_like_table:
+    if looks_like_table(target):
         if not _iceberg_available(df.sparkSession):
             raise RuntimeError(
                 f"'{target}' looks like a catalog table but no Iceberg "
                 "catalog is configured in this session"
             )
-        df.writeTo(target).using("iceberg").createOrReplace()
+        writer = df.writeTo(target).using("iceberg")
+        if mode == "overwrite":
+            writer.createOrReplace()
+        elif mode == "append":
+            writer.append()
+        else:
+            raise ValueError(
+                f"unsupported mode {mode!r} for table target {target!r} "
+                "(use 'overwrite' or 'append')"
+            )
         return "iceberg"
     df.write.mode(mode).parquet(target)
     return "parquet"

@@ -53,3 +53,32 @@ def test_ivf_deterministic(clustered):
     a = ivf_topk(clustered, q, k=5, n_cells=6, nprobe=2)
     b = ivf_topk(clustered, q, k=5, n_cells=6, nprobe=2)
     assert a.exceptAll(b).count() == 0
+
+
+def test_ivf_explicit_centroids_full_probe_equals_brute_force(clustered):
+    """With explicit centroids and nprobe = n_cells, every cell is
+    probed, so the SQL-assignment IVF path must return EXACTLY the
+    brute-force answer — an equality (not recall) check on the
+    oracle-able code path."""
+    from entity_resolver_spark.operators.ann import brute_force_topk, ivf_topk
+
+    q = clustered.where("vec_id < 10").selectExpr("vec_id as query_id", "embedding")
+    cents = clustered.where("vec_id < 8").selectExpr(
+        "cast(vec_id as int) as cell_id", "embedding as centroid"
+    )
+    ivf = ivf_topk(clustered, q, k=5, nprobe=8, centroids=cents)
+    bf = brute_force_topk(clustered, q, k=5)
+    assert ivf.exceptAll(bf).count() == 0
+    assert bf.exceptAll(ivf).count() == 0
+
+
+def test_ivf_explicit_centroids_deterministic(clustered):
+    from entity_resolver_spark.operators.ann import ivf_topk
+
+    q = clustered.where("vec_id < 10").selectExpr("vec_id as query_id", "embedding")
+    cents = clustered.where("vec_id < 8").selectExpr(
+        "cast(vec_id as int) as cell_id", "embedding as centroid"
+    )
+    r1 = sorted(map(tuple, ivf_topk(clustered, q, k=5, nprobe=2, centroids=cents).collect()))
+    r2 = sorted(map(tuple, ivf_topk(clustered, q, k=5, nprobe=2, centroids=cents).collect()))
+    assert r1 == r2

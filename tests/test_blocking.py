@@ -146,7 +146,26 @@ def test_unigram_channel_missing_column_raises(spark):
     # configured unigrams_col absent -> loud failure, never a silent
     # recall-channel drop
     with pytest.raises(ValueError, match="unigrams_col"):
-        blocking_keys(df, BlockingConfig(), "match_tokens").count()
+        blocking_keys(df, BlockingConfig(phonetic=False), "match_tokens").count()
     # explicit opt-out works
-    cfg = BlockingConfig(unigrams_col=None)
+    cfg = BlockingConfig(unigrams_col=None, phonetic=False)
     blocking_keys(df, cfg, "match_tokens").count()
+
+
+def test_phonetic_channel_missing_column_raises(spark):
+    """C5 mirrors C4's contract: configured-on + missing source column
+    is a hard error, never a silent recall-channel drop."""
+    import pytest
+
+    from entity_resolver_spark.config import BlockingConfig
+    from entity_resolver_spark.operators.blocking import blocking_keys
+
+    df = spark.createDataFrame(
+        [("c1", ["alpha", "beta"])], "conv_id string, match_tokens array<string>"
+    )
+    cfg = BlockingConfig(unigrams_col=None, phonetic=True)
+    with pytest.raises(ValueError, match="phonetic"):
+        blocking_keys(df, cfg)
+    # and deliberate disabling works
+    cfg_off = BlockingConfig(unigrams_col=None, phonetic=False)
+    assert blocking_keys(df, cfg_off).count() > 0

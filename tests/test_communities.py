@@ -69,3 +69,68 @@ def test_ensemble_rescue_mint_keep(spark):
     assert got["r3"] == "2"
     assert got["n9"] == "-1"  # unmapped, too small to mint
     assert {got["n2"], got["n3"], got["n4"], got["n5"]} == {"new#30"}
+
+
+# ---------------------------------------------------------------------------
+# break_bridges: the G4/G8 pass the flagship pipeline runs (round 3)
+# ---------------------------------------------------------------------------
+
+def _bridged_component(spark):
+    """Two dense 6-cliques fused into ONE cluster by a single weak
+    bridge edge — the exact failure mode components cannot fix."""
+    a = [f"a{i}" for i in range(6)]
+    b = [f"b{i}" for i in range(6)]
+    edges = []
+    for fam in (a, b):
+        for i in range(len(fam)):
+            for j in range(i + 1, len(fam)):
+                edges.append((fam[i], fam[j], 0.9))
+    edges.append(("a0", "b0", 0.6))  # the spurious bridge
+    edf = spark.createDataFrame(edges, ["src", "dst", "score"])
+    recs = spark.createDataFrame([(x, "a0") for x in a + b], ["conv_id", "cluster"])
+    return recs, edf, set(a), set(b)
+
+
+def test_break_bridges_splits_bridged_component(spark):
+    from entity_resolver_spark.operators.communities import break_bridges
+
+    recs, edf, a, b = _bridged_component(spark)
+    out = {r["conv_id"]: r["cluster"] for r in break_bridges(recs, edf).collect()}
+    a_labels = {out[x] for x in a - {"a0"}}
+    b_labels = {out[x] for x in b - {"b0"}}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+    # bridge endpoints stay with their own dense family
+    assert out["a0"] in a_labels and out["b0"] in b_labels
+
+
+def test_break_bridges_noop_below_min_component(spark):
+    from entity_resolver_spark.operators.communities import break_bridges
+
+    recs, edf, _, _ = _bridged_component(spark)
+    out = break_bridges(recs, edf, min_component=100)
+    assert {r["cluster"] for r in out.collect()} == {"a0"}
+
+
+def test_break_bridges_keeps_dense_cluster_whole(spark):
+    """A single 10-clique must NOT be fragmented by the pass."""
+    from entity_resolver_spark.operators.communities import break_bridges
+
+    ids = [f"n{i}" for i in range(10)]
+    edges = [
+        (ids[i], ids[j], 0.9)
+        for i in range(10) for j in range(i + 1, 10)
+    ]
+    edf = spark.createDataFrame(edges, ["src", "dst", "score"])
+    recs = spark.createDataFrame([(x, "n0") for x in ids], ["conv_id", "cluster"])
+    out = break_bridges(recs, edf)
+    assert out.select("cluster").distinct().count() == 1
+
+
+def test_break_bridges_deterministic(spark):
+    from entity_resolver_spark.operators.communities import break_bridges
+
+    recs, edf, _, _ = _bridged_component(spark)
+    r1 = sorted(map(tuple, break_bridges(recs, edf).collect()))
+    r2 = sorted(map(tuple, break_bridges(recs, edf).collect()))
+    assert r1 == r2

@@ -61,3 +61,27 @@ def test_tokens_and_bigrams(spark):
     assert set(row["match_tokens"]) == {
         "alpha", "beta", "gamma", "alpha_beta", "beta_gamma",
     }
+
+
+def test_fitted_state_tokenization_matches_fit_side(spark):
+    """Single source of truth (VERDICT r2 item 4): the transform-side
+    state tokenization must be the SAME expression fit uses — compare
+    normalize_docs' match_tokens against match_tokens_expr re-applied
+    to the stored norm_text."""
+    import pyspark.sql.functions as F
+
+    from entity_resolver_spark.operators.normalize import match_tokens_expr, normalize_docs
+
+    df = spark.createDataFrame(
+        [("c1", "Hello, WORLD!  Order #123 again hello world"),
+         ("c2", "one"),
+         ("c3", "a b c d e f")],
+        "conv_id string, doc string",
+    )
+    fit_side = normalize_docs(df)
+    recomputed = fit_side.select(
+        "conv_id", "match_tokens",
+        match_tokens_expr(F.col("norm_text")).alias("state_tokens"),
+    )
+    bad = recomputed.where(F.col("match_tokens") != F.col("state_tokens")).count()
+    assert bad == 0

@@ -89,3 +89,89 @@ def test_stage_metrics_recorded(resolved):
         "resolved",
     ]
     assert all(m["rows"] >= 0 for m in pipe.metrics)
+
+
+# ---------------------------------------------------------------------------
+# round-3 E2E: bridge-breaking (G4/G8 in the flagship) + metadata splits
+# ---------------------------------------------------------------------------
+
+def _single_turn_corpus(spark, rows):
+    """rows: (conv_id, text, tool) -> a one-turn-per-conversation frame."""
+    import datetime as dt
+
+    data = [
+        (cid, 0, "assistant" if tool else "user", text, tool, dt.datetime(2026, 1, 1))
+        for cid, text, tool in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+_FAM_A = ("case90001 alpha bravo charlie delta echo foxtrot golf hotel "
+          "india juliet kilo lima mike november")
+_FAM_B = ("case90002 oscar papa quebec romeo sierra tango uniform victor "
+          "whiskey xray yankee zulu green stone")
+
+
+def _bridged_corpus(spark):
+    rows = []
+    for i in range(8):
+        rows.append((f"a{i}", _FAM_A + f" extra{i}", ""))
+        rows.append((f"b{i}", _FAM_B + f" other{i}", ""))
+    # the bridge: half of A's opening + half of B's — similar enough to
+    # both families to clear a low edge threshold, member of neither
+    bridge = ("case90001 alpha bravo charlie delta echo foxtrot "
+              "case90002 oscar papa quebec romeo sierra tango")
+    rows.append(("x0", bridge, ""))
+    return _single_turn_corpus(spark, rows)
+
+
+def _bridge_cfg(break_bridges):
+    # rare_tokens_per_record widened so the bridge's family-shared
+    # tokens (df 9 vs the family-exclusive df 8) still emit keys —
+    # verified to produce bridge edges at 0.47-0.56 vs intra ~0.9
+    return ResolverConfig.model_validate(
+        {
+            "scoring": {"edge_threshold": 0.30},
+            "blocking": {"rare_tokens_per_record": 40},
+            "clustering": {"break_bridges": break_bridges},
+        }
+    )
+
+
+def test_bridge_breaking_splits_fused_families_e2e(spark):
+    turns = _bridged_corpus(spark)
+    res_on = EntityResolverPipeline(_bridge_cfg(True)).resolve(spark, turns)
+    got = {r["conv_id"]: r["cluster"] for r in res_on.collect()}
+    a_labels = {got[f"a{i}"] for i in range(8)}
+    b_labels = {got[f"b{i}"] for i in range(8)}
+    assert len(a_labels) == 1 and len(b_labels) == 1, (a_labels, b_labels)
+    assert a_labels != b_labels
+    assert q1_violations(res_on).count() == 0
+
+
+def test_bridge_breaking_off_fuses_families_e2e(spark):
+    turns = _bridged_corpus(spark)
+    res_off = EntityResolverPipeline(_bridge_cfg(False)).resolve(spark, turns)
+    got = {r["conv_id"]: r["cluster"] for r in res_off.collect()}
+    # sanity that the bridge actually fused the component without the pass
+    assert got["a0"] == got["b0"]
+
+
+def test_tool_conflict_family_splits_e2e(spark):
+    """A metadata-conflicting merged family (identical text, disjoint
+    tool sets) must split under the default config (Q3 analog on by
+    default, reference validator.py:87-141)."""
+    base = "case70001 widget order refund status check please help now"
+    rows = [(f"t{i}", base + f" v{i}", "search_tool" if i < 3 else "mailer_tool")
+            for i in range(6)]
+    turns = _single_turn_corpus(spark, rows)
+    res = EntityResolverPipeline().resolve(spark, turns)
+    got = {r["conv_id"]: r["cluster"] for r in res.collect()}
+    search_side = {got[f"t{i}"] for i in range(3)}
+    mailer_side = {got[f"t{i}"] for i in range(3, 6)}
+    assert len(search_side) == 1 and len(mailer_side) == 1
+    assert search_side != mailer_side
+    assert q1_violations(res).count() == 0

@@ -160,3 +160,98 @@ def test_evict_low_margin_vote(spark):
     got = {r["conv_id"]: (r["cluster"], r["evicted"]) for r in out.collect()}
     assert got["straddle"] == ("straddle", True)
     assert all(not ev for cid, (cl, ev) in got.items() if cid != "straddle")
+
+
+# ---------------------------------------------------------------------------
+# round-3 scale discipline: broadcast gates + hot-key caps
+# ---------------------------------------------------------------------------
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_profile_broadcast_gated_by_cluster_count(spark, monkeypatch):
+    """Above the cap the broadcast hint must disappear (shuffle join);
+    below it the hint must be present. Auto-broadcast is disabled for
+    the assertion so only the explicit hint can produce a
+    BroadcastHashJoin. The input is localCheckpointed so the plan under
+    inspection contains evict's OWN joins only (a cached fixture would
+    re-print its lineage — planned under the default conf — inside
+    every InMemoryRelation and false-positive the substring check)."""
+    import entity_resolver_spark.operators.refine as refine
+
+    rows = [
+        ("a1", "c1", A), ("a2", "c1", A + " iota"),
+        ("a3", "c9", A), ("a4", "c9", A + " kappa"),
+        ("b1", "cb", B), ("b2", "cb", B + " eleven"),
+    ]
+    recs = _vectorized(spark, rows).localCheckpoint(eager=True)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        base = evict_outliers(recs, min_cluster_size=2).drop("evicted")
+        assert "BroadcastHashJoin" in _plan(base)  # hinted under the cap
+
+        monkeypatch.setattr(refine, "PROFILE_BROADCAST_CAP", 0)
+        monkeypatch.setattr(refine, "MAP_BROADCAST_CAP", 0)
+        gated = evict_outliers(recs, min_cluster_size=2).drop("evicted")
+        assert "BroadcastHashJoin" not in _plan(gated)  # hint dropped over the cap
+        # identical answers on both plans
+        assert base.exceptAll(gated).count() == 0
+        assert gated.exceptAll(base).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+
+
+def test_drop_hot_keys_unit(spark):
+    from entity_resolver_spark.operators.refine import _drop_hot_keys
+
+    df = spark.createDataFrame(
+        [("a", "hot"), ("b", "hot"), ("c", "hot"), ("d", "cold"), ("e", "cold")],
+        "id string, k string",
+    )
+    kept = _drop_hot_keys(df, "k", cap=2)
+    assert {r["id"] for r in kept.collect()} == {"d", "e"}
+
+
+def test_merge_string_hot_prefix_is_bounded(spark):
+    """10k single-member clusters sharing one 16-char canonical prefix:
+    the prefix key covers >> STRING_KEY_CAP clusters so it is dropped,
+    the tails are unique tokens (df=1, no rare key) — the candidate
+    join must stay empty instead of going quadratic (50M pairs)."""
+    import time
+
+    rows = [
+        (f"c{i:05d}", f"c{i:05d}", f"hello i need help with ticket uniq{i:05d}")
+        for i in range(10_000)
+    ]
+    recs = _vectorized(spark, rows)
+    t0 = time.monotonic()
+    out = merge_clusters_string(recs)
+    n_clusters = out.select("cluster").distinct().count()
+    elapsed = time.monotonic() - t0
+    assert n_clusters == 10_000  # nothing merged
+    assert elapsed < 120  # quadratic would not finish in this budget
+
+
+def test_slot_key_cap_wired_into_reassign(spark, monkeypatch):
+    """With the slot-key cap forced to 0 every profile key is dropped,
+    so reassignment must be a no-op (proves the cap gates the join)."""
+    import entity_resolver_spark.operators.refine as refine
+
+    rows = [
+        ("m1", "cm", A + " one"), ("m2", "cm", A + " two"),
+        ("s1", "s1", A + " three"),
+    ]
+    recs = _vectorized(spark, rows)
+    kw = dict(assign_floor=0.6, ratio_floor=1.05)
+    base = {r["conv_id"]: r["cluster"] for r in reassign_singletons(recs, **kw).collect()}
+    assert base["s1"] == "cm"  # normally reassigned
+
+    monkeypatch.setattr(refine, "SLOT_KEY_CAP", 0)
+    capped = {r["conv_id"]: r["cluster"] for r in reassign_singletons(recs, **kw).collect()}
+    assert capped["s1"] == "s1"  # all keys dropped -> unchanged

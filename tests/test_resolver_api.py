@@ -71,3 +71,50 @@ def test_save_load_roundtrip(fitted, spark, tmp_path):
     base = tdf.where(F.col("conv_id") == tdf.first()["conv_id"])
     new = base.withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_n2")))
     assert back.transform(spark, new).count() == 1
+
+
+def test_report_distributional_stats(fitted):
+    """describe()-style stats mirror reporter.py:106-108."""
+    res, _, _ = fitted
+    rep = res.generate_report()
+    css = rep["cluster_size_stats"]
+    assert css["count"] == rep["unique_after"]
+    assert css["min"] >= 1 and css["max"] >= css["min"]
+    assert css["25%"] <= css["50%"] <= css["75%"] <= css["max"]
+    assert abs(css["mean"] * css["count"] - rep["total_records"]) < 1e-6 * rep["total_records"] + 1e-6
+    cs = rep["confidence_stats"]
+    assert cs["count"] == rep["total_records"]
+    assert 0.0 <= cs["min"] <= cs["25%"] <= cs["50%"] <= cs["75%"] <= cs["max"] <= 1.0
+    assert abs(cs["mean"] - rep["avg_confidence"]) < 1e-9
+
+
+def test_load_migrates_format1_config(fitted, spark, tmp_path):
+    """A format-1 save dir carrying since-removed config keys loads
+    cleanly (keys stripped); an unknown future format raises a clear
+    error instead of an opaque pydantic one."""
+    import json
+    import os
+
+    import yaml
+
+    res, _, _ = fitted
+    path = str(tmp_path / "model_v1")
+    res.save(path)
+    # rewrite as an old-format save: format 1 + removed keys present
+    cfg_path = os.path.join(path, "config.yaml")
+    with open(cfg_path) as f:
+        data = yaml.safe_load(f)
+    data["random_seed"] = 42
+    data["normalization"]["suffix_passes"] = 3
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(data, f)
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump({"format": 1, "metrics": []}, f)
+
+    loaded = SparkEntityResolver.load(spark, path)
+    assert loaded.resolved_.count() == res.resolved_.count()
+
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump({"format": 99}, f)
+    with pytest.raises(RuntimeError, match="format 99"):
+        SparkEntityResolver.load(spark, path)

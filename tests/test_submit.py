@@ -62,3 +62,19 @@ def test_spark_submit_py_files_end_to_end(spark, corpus, tmp_path):
     assert got.count() > 0
     assert {"conv_id", "cluster", "canonical_text", "confidence_score"} <= set(got.columns)
     assert os.path.exists(out + "_metrics.json")
+
+
+def test_metrics_sidecar_via_hadoop_fs(spark, tmp_path):
+    """The sidecar goes through the Hadoop FileSystem API so DFS output
+    paths (hdfs:// / s3a://) work on a real cluster; local paths use
+    the file:// filesystem and must round-trip."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from submit_job import _write_sidecar
+
+    target = str(tmp_path / "resolved_metrics.json")
+    _write_sidecar(spark, target, json.dumps([{"stage": "x", "rows": 1}]))
+    with open(target) as f:
+        assert json.load(f) == [{"stage": "x", "rows": 1}]

@@ -50,12 +50,34 @@ def main() -> None:
     pipe = EntityResolverPipeline(cfg)
     resolved = pipe.resolve(spark, turns)
 
-    from entity_resolver_spark.sinks import write_table
+    from entity_resolver_spark.sinks import looks_like_table, write_table
 
     write_table(resolved, args.output)
-    with open(args.output.rstrip("/") + "_metrics.json", "w") as f:
-        json.dump(pipe.metrics, f, indent=2)
+    # metrics sidecar: --output is usually a DFS path (hdfs:// / s3a://)
+    # on a real cluster, where a local open() would fail AFTER the
+    # expensive resolve+write — write through the Hadoop FileSystem API
+    # instead, which resolves any scheme Spark itself can write to.
+    # Table targets get a local sidecar next to nothing, so skip (the
+    # metrics live in pipe.metrics / the driver log there).
+    if not looks_like_table(args.output):
+        _write_sidecar(
+            spark, args.output.rstrip("/") + "_metrics.json",
+            json.dumps(pipe.metrics, indent=2),
+        )
     print(f"resolved {resolved.count()} records -> {args.output}")
+
+
+def _write_sidecar(spark, path: str, content: str) -> None:
+    """Write a small text file via Hadoop FileSystem (scheme-agnostic:
+    file://, hdfs://, s3a://, ...)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
 
 
 if __name__ == "__main__":
