@@ -91,12 +91,15 @@ def _drop_hot_keys(keyed: DataFrame, key_col: str, cap: int) -> DataFrame:
 # cluster profiles
 # ---------------------------------------------------------------------------
 
-def cluster_profiles(records: DataFrame, cluster_col: str = "cluster") -> DataFrame:
+def cluster_profiles(
+    records: DataFrame, cluster_col: str = "cluster", with_canonical: bool = False
+) -> DataFrame:
     """One row per cluster: L2-normalized centroid of member TF-IDF
-    vectors (sparse, as aligned arrays), member count, canonical text
-    by frequency. Pure SQL: explode -> sum per slot -> re-collect."""
-    from entity_resolver_spark.operators.canonical import canonical_by_frequency
-
+    vectors (sparse, as aligned arrays) and member count; optionally the
+    frequency-canonical text. Pure SQL: explode -> sum per slot ->
+    re-collect. The canonical is opt-in because none of the vector-space
+    consumers (evict/reassign/merge_vector) read it and its
+    window-over-records costs as much as the centroid itself."""
     slots = (
         records.select(cluster_col, F.arrays_zip("vec_idx", "vec_val").alias("z"))
         .select(cluster_col, F.explode("z").alias("e"))
@@ -117,8 +120,12 @@ def cluster_profiles(records: DataFrame, cluster_col: str = "cluster") -> DataFr
         )
     )
     sizes = records.groupBy(cluster_col).agg(F.count("*").alias("size"))
-    canon = canonical_by_frequency(records, cluster_col)
-    return centroid.join(sizes, cluster_col).join(canon, cluster_col)
+    out = centroid.join(sizes, cluster_col)
+    if with_canonical:
+        from entity_resolver_spark.operators.canonical import canonical_by_frequency
+
+        out = out.join(canonical_by_frequency(records, cluster_col), cluster_col)
+    return out
 
 
 def _top_slot_keys(c_idx, c_val, m: int = 4):
@@ -300,7 +307,16 @@ def evict_outliers(
         & (F.col("__cos") < F.col("__mu") - z_floor * F.col("__sd"))
     )
     v2 = eligible & (F.col("__cos") < cosine_floor)
-    voted = scored.join(stats, cluster_col).withColumn("__v1", v1).withColumn("__v2", v2)
+    # voted feeds THREE consumers (suspects, the v3 lineage, the final
+    # relabel join) — materialize once or the profile-join + Arrow
+    # cosine re-executes per consumer (measured 26s -> 7s for the whole
+    # pass at 129k turns / 1.5k clusters)
+    voted = (
+        scored.join(stats, cluster_col)
+        .withColumn("__v1", v1)
+        .withColumn("__v2", v2)
+        .localCheckpoint(eager=True)
+    )
 
     # vote 3 (margin) only for members already holding a vote
     suspects = voted.where(F.col("__v1") | F.col("__v2")).select(

@@ -231,8 +231,13 @@ class EntityResolverPipeline:
                     out, jw_floor=ref.merge_jw_floor, lev_floor=ref.merge_lev_floor
                 )
             # vectors are not read past this point — keep them out of
-            # the clustered/resolved checkpoints
-            out = out.drop("vec_idx", "vec_val")
+            # the clustered/resolved checkpoints. Materialize before the
+            # split/consolidate passes: each of their aggregate+join
+            # steps references `out` several times, and without the cut
+            # every reference re-executes the merge-pass plan (measured
+            # ~25s of pure recompute in the clustered stage at 129k
+            # turns with the metadata splits on)
+            out = out.drop("vec_idx", "vec_val").localCheckpoint(eager=True)
             out = split_on_metadata(
                 out,
                 tool_conflict=cfg.validation.split_on_tool_conflict,

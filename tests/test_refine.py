@@ -191,14 +191,24 @@ def test_profile_broadcast_gated_by_cluster_count(spark, monkeypatch):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
-        base = evict_outliers(recs, min_cluster_size=2).drop("evicted")
-        assert "BroadcastHashJoin" in _plan(base)  # hinted under the cap
+        # the exact join evict_outliers builds (records x profiles),
+        # inspected BEFORE the eager materialization hides it
+        prof, n_prof = refine._materialize(
+            cluster_profiles(recs).select("cluster", "c_idx", "c_val", "size")
+        )
+        hinted = recs.join(
+            refine._maybe_broadcast(prof, n_prof, refine.PROFILE_BROADCAST_CAP), "cluster"
+        )
+        assert "BroadcastHashJoin" in _plan(hinted)  # under the cap -> hinted
 
+        gated_join = recs.join(refine._maybe_broadcast(prof, n_prof, 0), "cluster")
+        assert "BroadcastHashJoin" not in _plan(gated_join)  # over the cap -> shuffle
+
+        # end-to-end: identical answers with the caps forced to 0
+        base = evict_outliers(recs, min_cluster_size=2).drop("evicted")
         monkeypatch.setattr(refine, "PROFILE_BROADCAST_CAP", 0)
         monkeypatch.setattr(refine, "MAP_BROADCAST_CAP", 0)
         gated = evict_outliers(recs, min_cluster_size=2).drop("evicted")
-        assert "BroadcastHashJoin" not in _plan(gated)  # hint dropped over the cap
-        # identical answers on both plans
         assert base.exceptAll(gated).count() == 0
         assert gated.exceptAll(base).count() == 0
     finally:
