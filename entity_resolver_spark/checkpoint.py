@@ -25,6 +25,7 @@ import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from entity_resolver_spark.lineage import eager_cut
 
 
 class CheckpointManager:
@@ -63,7 +64,7 @@ class CheckpointManager:
         (lineage cut only — still required for iterative stages)."""
         t0 = time.time()
         if self.base_dir is None:
-            df = compute().localCheckpoint(eager=True)
+            df = compute().transform(eager_cut)
             self._record(name, df, t0, resumed=False, extra=extra_metrics)
             return df
 

@@ -144,6 +144,10 @@ class ClusteringConfig(BaseModel):
     bridge_min_component: int = 8   # components below this are never split
     bridge_max_iter: int = 8        # LPA round budget
     bridge_min_community: int = 2   # smaller LPA fragments get rescued/singled
+    # edge-complete components are one mutually-connected family by
+    # construction — only components with internal density below this
+    # get the LPA pass (O(E_suspicious), not O(E_total), per round)
+    bridge_density_floor: float = 0.9
 
 
 class RefinementConfig(BaseModel):

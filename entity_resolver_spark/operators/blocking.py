@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from entity_resolver_spark.config import BlockingConfig
+from entity_resolver_spark.lineage import eager_cut
 
 
 def det_key(tokens_col, k: int) -> "F.Column":
@@ -209,9 +210,7 @@ def candidate_pairs(
     # self-join) — materialize once or the whole signature/rare-token
     # plan executes twice. The table is tiny: ~keys_per_record rows of
     # (conv_id, block_key).
-    keys = blocking_keys(records, cfg, tokens_col, df_table=df_table).localCheckpoint(
-        eager=True
-    )
+    keys = blocking_keys(records, cfg, tokens_col, df_table=df_table).transform(eager_cut)
     n_records = records.count()
     stop_n = max(int(cfg.stop_key_fraction * n_records), cfg.max_block_size)
 

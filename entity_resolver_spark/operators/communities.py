@@ -37,6 +37,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from entity_resolver_spark.operators.report import purity_contingency
+from entity_resolver_spark.lineage import eager_cut
 
 
 def label_propagation(
@@ -71,11 +72,11 @@ def label_propagation(
         )
         .groupBy("u", "v")
         .agg(F.max("w").alias("w"))
-        .localCheckpoint(eager=True)
+        .transform(eager_cut)
     )
     labels = adj.select(F.col("u").alias("id")).distinct().withColumn(
         "community", F.col("id")
-    ).localCheckpoint(eager=True)
+    ).transform(eager_cut)
 
     quiet = 0
     for it in range(max_iter):
@@ -110,7 +111,7 @@ def label_propagation(
                 ).otherwise(F.col("community")),
             )
             .select("id", "community")
-            .localCheckpoint(eager=True)
+            .transform(eager_cut)
         )
         changed = (
             updated.join(labels.withColumnRenamed("community", "old"), "id")
@@ -212,6 +213,7 @@ def break_bridges(
     max_iter: int = 8,
     min_community: int = 2,
     purity_min: float = 0.5,
+    density_floor: float = 0.9,
 ) -> DataFrame:
     """Split bridge-fused clusters (the reference's Louvain+ensemble
     role, clusterer.py:400-413,599-937, invoked from resolver.py:
@@ -219,39 +221,69 @@ def break_bridges(
     single spurious above-threshold edge; density-aware communities
     separate them.
 
-    Shape: only clusters with >= min_component members are touched (a
-    genuine duplicate family below that can't hide two families worth
-    splitting). Within each such cluster, run weighted semi-synchronous
-    LPA over its INTERNAL scored match edges — labels can only
-    propagate along intra-cluster edges, so LPA communities never span
-    clusters and the relabel is a per-cluster partition. Then reconcile
-    with the ensemble exactly as the reference does: communities of
-    >= min_community members become clusters; smaller fragments are
-    marked noise and RESCUED into their original cluster's dominant
-    community via the purity mapping (minting is disabled — an
-    unrescued fragment becomes its own singleton, eligible for the
-    reassignment pass downstream).
+    Shape: only clusters that could actually hide a bridge are touched:
+    (a) >= min_component members (a genuine duplicate family below that
+    can't hide two families worth splitting), AND (b) internal edge
+    density 2E/(n(n-1)) < density_floor — an edge-COMPLETE component is
+    one mutually-connected family by construction, so LPA on it is pure
+    cost (and on corpora where most duplicate families are large tight
+    cliques, skipping them is the difference between O(E_suspicious)
+    and O(E_total) per LPA round). Within each suspicious cluster, run
+    weighted semi-synchronous LPA over its INTERNAL scored match
+    edges — labels can only propagate along intra-cluster edges, so LPA
+    communities never span clusters and the relabel is a per-cluster
+    partition. Then reconcile with the ensemble exactly as the
+    reference does: communities of >= min_community members become
+    clusters; smaller fragments are marked noise and RESCUED into their
+    original cluster's dominant community via the purity mapping
+    (minting is disabled — an unrescued fragment becomes its own
+    singleton, eligible for the reassignment pass downstream).
 
-    Cost: one size agg + two label joins + O(E_big) per LPA round,
-    where E_big is the edge count inside large clusters only.
+    Cost: two aggs + two label joins + O(E_suspicious) per LPA round.
+
+    Interplay with salted blocking (blocking.py ring-linked sub-blocks):
+    a legitimate oversized family arrives as ring-linked sub-cliques —
+    low density, so LPA may label each sub-clique separately. That is
+    safe BY PIPELINE ORDER: merge_clusters_vector (G9) runs after this
+    pass and re-merges them because true sub-family centroids are
+    near-parallel (cosine ~1), while genuinely distinct bridged
+    families stay split because their centroids are not. LPA proposes,
+    the vector merge disposes.
     """
     sizes = records.groupBy(cluster_col).agg(F.count("*").alias("__n"))
-    big = sizes.where(F.col("__n") >= min_component).select(cluster_col)
-    members = (
-        records.join(big, cluster_col)
-        .select("conv_id", cluster_col)
-        .localCheckpoint(eager=True)
+    big = sizes.where(F.col("__n") >= min_component)
+    members_all = records.join(big.select(cluster_col), cluster_col).select(
+        "conv_id", cluster_col
     )
-    if members.isEmpty():
-        return records
-    lab_a = members.select(F.col("conv_id").alias("src"), F.col(cluster_col).alias("__ca"))
-    lab_b = members.select(F.col("conv_id").alias("dst"), F.col(cluster_col).alias("__cb"))
-    internal = (
+    lab_a = members_all.select(F.col("conv_id").alias("src"), F.col(cluster_col).alias("__ca"))
+    lab_b = members_all.select(F.col("conv_id").alias("dst"), F.col(cluster_col).alias("__cb"))
+    internal_all = (
         edges.join(lab_a, "src")
         .join(lab_b, "dst")
         .where(F.col("__ca") == F.col("__cb"))
-        .select("src", "dst", F.col("score").alias("weight"))
+        .select("src", "dst", F.col("score").alias("weight"), F.col("__ca"))
+        .transform(eager_cut)
     )
+    if internal_all.isEmpty():
+        return records
+    suspicious = (
+        internal_all.groupBy("__ca")
+        .agg(F.count("*").alias("__e"))
+        .join(big.withColumnRenamed(cluster_col, "__ca"), "__ca")
+        .where(
+            2.0 * F.col("__e") / (F.col("__n") * (F.col("__n") - 1)) < density_floor
+        )
+        .select("__ca")
+    )
+    internal = internal_all.join(suspicious, "__ca").select("src", "dst", "weight")
+    members = (
+        members_all.join(
+            suspicious.withColumnRenamed("__ca", cluster_col), cluster_col
+        )
+        .transform(eager_cut)
+    )
+    if members.isEmpty():
+        return records
     comm = label_propagation(internal, max_iter=max_iter)  # (id, community)
     csizes = comm.groupBy("community").agg(F.count("*").alias("__cn"))
     assignments = (

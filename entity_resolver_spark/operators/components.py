@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from entity_resolver_spark.lineage import eager_cut
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -83,13 +84,13 @@ def connected_components(
     Callers attach singletons with a left join + coalesce(component, id).
     """
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(eager_cut)
     prev = _fingerprint(e)
 
     for it in range(max_iterations):
         e = _small_star(_large_star(e))
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            e = e.localCheckpoint(eager=True)
+            e = e.transform(eager_cut)
         cur = _fingerprint(e)
         if cur == prev:
             break

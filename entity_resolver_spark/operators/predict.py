@@ -20,6 +20,7 @@ from entity_resolver_spark.functions.similarity import sparse_cosine_udf
 from entity_resolver_spark.operators.collapse import collapse_turns
 from entity_resolver_spark.operators.normalize import normalize_docs
 from entity_resolver_spark.operators.vectorize import add_tfidf_vectors
+from entity_resolver_spark.lineage import eager_cut
 
 
 def derive_fitted_state(
@@ -47,7 +48,7 @@ def derive_fitted_state(
     state_norm = resolved.select("conv_id", "cluster", "norm_text").withColumn(
         "match_tokens", match_tokens_expr(F.col("norm_text"))
     )
-    fitted_idf = idf_table(state_norm, "match_tokens").localCheckpoint(eager=True)
+    fitted_idf = idf_table(state_norm, "match_tokens").transform(eager_cut)
     state_vec = add_tfidf_vectors(
         state_norm, tokens_col="match_tokens",
         num_features=cfg.scoring.tfidf_num_features, idf=fitted_idf,

@@ -29,6 +29,7 @@ from entity_resolver_spark.functions.similarity import (
     sparse_cosine_udf,
 )
 from entity_resolver_spark.operators.components import connected_components
+from entity_resolver_spark.lineage import eager_cut
 
 # ---------------------------------------------------------------------------
 # broadcast size gates (scale discipline)
@@ -59,6 +60,15 @@ MAP_BROADCAST_CAP = 2_000_000     # slim id->id / id->label maps
 # candidate join (the same argument as blocking.py's stop_key_fraction).
 SLOT_KEY_CAP = 2_000
 STRING_KEY_CAP = 500
+# rare-canonical-token keys must be RARE (block-family-sized, like
+# blocking.py's rare_max_df): a df cap at STRING_KEY_CAP would admit
+# mid-frequency words covering hundreds of clusters and make the
+# string-merge candidate set quadratic in them
+STRING_RARE_MAX_DF = 20
+# jw/lev on merge candidates run on canonical-text PREFIXES: transcript
+# canonicals are multi-KB and the lev DP is O(len^2) per pair — the
+# same rationale (and a similar cap) as ScoringConfig.lev_prefix_chars
+STRING_SIM_PREFIX = 256
 
 
 def _maybe_broadcast(df: DataFrame, n_rows: int, cap: int) -> DataFrame:
@@ -69,7 +79,7 @@ def _materialize(df: DataFrame) -> tuple[DataFrame, int]:
     """localCheckpoint + count: the pattern every refinement pass uses to
     (a) stop plan re-execution across its 2+ consumers and (b) learn the
     row count that gates broadcast decisions."""
-    out = df.localCheckpoint(eager=True)
+    out = df.transform(eager_cut)
     return out, out.count()
 
 
@@ -196,10 +206,13 @@ def merge_clusters_string(
       * 16-char canonical prefix, keys covering > STRING_KEY_CAP
         clusters dropped;
       * the 3 rarest canonical tokens by cluster-level df (2 <= df <=
-        STRING_KEY_CAP) — near-identical strings share their rare
+        STRING_RARE_MAX_DF) — near-identical strings share their rare
         tokens even when a hot prefix key was dropped, so capping the
         prefix channel loses no family-sized recall (same discipline
-        as blocking.py's C3)."""
+        as blocking.py's C3).
+    The jw/lev verification runs on STRING_SIM_PREFIX-char prefixes
+    (transcript canonicals are multi-KB; the DP cost argument of
+    ScoringConfig.lev_prefix_chars applies here too)."""
     from entity_resolver_spark.operators.canonical import canonical_by_frequency
 
     canon, _ = _materialize(canonical_by_frequency(records, cluster_col))
@@ -218,14 +231,23 @@ def merge_clusters_string(
     tok_df = tok.groupBy("token").agg(F.count("*").alias("__df"))
     rare_rank = W.partitionBy(cluster_col).orderBy(F.col("__df").asc(), F.col("token").asc())
     rare_keys = (
-        tok.join(tok_df.where((F.col("__df") >= 2) & (F.col("__df") <= STRING_KEY_CAP)), "token")
+        tok.join(
+            tok_df.where((F.col("__df") >= 2) & (F.col("__df") <= STRING_RARE_MAX_DF)),
+            "token",
+        )
         .withColumn("__rk", F.row_number().over(rare_rank))
         .where(F.col("__rk") <= 3)
         .select(cluster_col, F.concat(F.lit("t:"), F.col("token")).alias("k"))
     )
     keyed = _drop_hot_keys(
         prefix_keys.unionByName(rare_keys), "k", STRING_KEY_CAP
-    ).join(canon, cluster_col)
+    ).join(
+        canon.select(
+            cluster_col,
+            F.substring("canonical_text", 1, STRING_SIM_PREFIX).alias("canonical_text"),
+        ),
+        cluster_col,
+    )
     a = keyed.select(F.col("k"), F.col(cluster_col).alias("ca"), F.col("canonical_text").alias("ta"))
     b = keyed.select(F.col("k"), F.col(cluster_col).alias("cb"), F.col("canonical_text").alias("tb"))
     cand = (
@@ -241,7 +263,12 @@ def merge_clusters_string(
 
 
 def _apply_merge(records: DataFrame, merge_edges: DataFrame, cluster_col: str) -> DataFrame:
-    if merge_edges.isEmpty():
+    # materialize the candidate edges ONCE: isEmpty() would execute the
+    # (expensive) candidate-scoring plan and throw the result away, then
+    # connected_components' own input checkpoint would execute it AGAIN
+    # (measured 103s of pure double-compute at 3k clusters)
+    merge_edges, n_edges = _materialize(merge_edges.select("src", "dst"))
+    if n_edges == 0:
         return records
     labels = connected_components(merge_edges)
     remap, n_remap = _materialize(
@@ -315,7 +342,7 @@ def evict_outliers(
         scored.join(stats, cluster_col)
         .withColumn("__v1", v1)
         .withColumn("__v2", v2)
-        .localCheckpoint(eager=True)
+        .transform(eager_cut)
     )
 
     # vote 3 (margin) only for members already holding a vote

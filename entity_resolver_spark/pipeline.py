@@ -43,6 +43,7 @@ from entity_resolver_spark.operators.validate import (
     split_on_metadata,
 )
 from entity_resolver_spark.operators.vectorize import add_tfidf_vectors, token_df
+from entity_resolver_spark.lineage import eager_cut
 
 
 class EntityResolverPipeline:
@@ -183,7 +184,7 @@ class EntityResolverPipeline:
             # records).
             out = attach_labels(
                 vectorized.drop("vec_blob"), labels
-            ).localCheckpoint(eager=True)
+            ).transform(eager_cut)
             # G4/G8: break single-edge bridges inside large components
             # BEFORE the refinement passes (reference order — Louvain/
             # ensemble run as part of clustering, resolver.py:432-436,
@@ -199,7 +200,8 @@ class EntityResolverPipeline:
                     min_component=cfg.clustering.bridge_min_component,
                     max_iter=cfg.clustering.bridge_max_iter,
                     min_community=cfg.clustering.bridge_min_community,
-                ).localCheckpoint(eager=True)
+                    density_floor=cfg.clustering.bridge_density_floor,
+                ).transform(eager_cut)
             ref = cfg.refinement
             if ref.evict_outliers:
                 out = evict_outliers(
@@ -209,7 +211,7 @@ class EntityResolverPipeline:
                     cosine_floor=ref.evict_cosine_floor,
                     margin_floor=ref.evict_margin_floor,
                     very_poor_floor=ref.evict_very_poor_floor,
-                ).drop("evicted").localCheckpoint(eager=True)
+                ).drop("evicted").transform(eager_cut)
             if ref.reassign_singletons:
                 out = reassign_singletons(
                     out,
@@ -221,11 +223,11 @@ class EntityResolverPipeline:
                     soft_penalty=ref.assign_soft_penalty,
                     min_viable=ref.assign_min_viable,
                     score_margin=ref.assign_score_margin,
-                ).localCheckpoint(eager=True)
+                ).transform(eager_cut)
             if ref.merge_vector:
                 out = merge_clusters_vector(
                     out, centroid_cosine_floor=ref.merge_centroid_cosine_floor
-                ).localCheckpoint(eager=True)
+                ).transform(eager_cut)
             if ref.merge_string:
                 out = merge_clusters_string(
                     out, jw_floor=ref.merge_jw_floor, lev_floor=ref.merge_lev_floor
@@ -237,7 +239,7 @@ class EntityResolverPipeline:
             # every reference re-executes the merge-pass plan (measured
             # ~25s of pure recompute in the clustered stage at 129k
             # turns with the metadata splits on)
-            out = out.drop("vec_idx", "vec_val").localCheckpoint(eager=True)
+            out = out.drop("vec_idx", "vec_val").transform(eager_cut)
             out = split_on_metadata(
                 out,
                 tool_conflict=cfg.validation.split_on_tool_conflict,
@@ -261,6 +263,12 @@ class EntityResolverPipeline:
                 # Q2 repair + gate (reference resolver.py:475): two
                 # clusters may converge to one canonical text
                 with_canon = enforce_canonical_fd(with_canon)
+            # three consumers read with_canon (enrichment donor pick,
+            # confidence join, final projection) and the rows carry the
+            # full text payload — cut once here or each consumer re-runs
+            # the canonical-map + FD-repair joins over the fat rows
+            # (measured 85s of re-compute at 96k conversations)
+            with_canon = with_canon.transform(eager_cut)
             if cfg.refinement.enrich_metadata:
                 with_canon = enrich_metadata(with_canon)
             else:

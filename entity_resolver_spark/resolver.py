@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from entity_resolver_spark.config import ResolverConfig
 from entity_resolver_spark.pipeline import EntityResolverPipeline
+from entity_resolver_spark.lineage import eager_cut
 
 
 class SparkEntityResolver:
@@ -64,7 +65,7 @@ class SparkEntityResolver:
 
         if self.fitted_ is None:
             self.fitted_ = {
-                k: v.localCheckpoint(eager=True)
+                k: v.transform(eager_cut)
                 for k, v in derive_fitted_state(self.resolved_, self.config).items()
             }
         return assign_new(
