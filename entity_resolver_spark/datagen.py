@@ -12,8 +12,12 @@ Seeded (default 42), pure numpy — no external data. Produces:
     (FIXTURES.md F2).
 
 Duplicate variants are produced by perturbation kinds: exact, typo,
-paraphrase, turn_reorder, truncate, role_noise; hard negatives are
-distinct conversations sharing vocabulary.
+paraphrase, turn_reorder, truncate, role_noise. Negatives come in two
+grades: `hard_negative` (distinct conversations sharing topic
+vocabulary) and `hard_negative_shared_block` (a sibling conversation
+with an IDENTICAL first turn — same rare anchor token, same canonical
+opening — so the pair is guaranteed to share a blocking key and
+precision must be earned downstream of the blocker).
 """
 
 from __future__ import annotations
@@ -151,6 +155,7 @@ def generate_corpus(
     perturb_of: dict[str, str] = {}
     t0 = _dt.datetime(2026, 1, 1)
 
+    sibling_of: dict[int, str] = {}
     for b in range(n_base):
         base_turns = _base_turns(b, rng)
         variants = [("exact", base_turns)]
@@ -168,6 +173,25 @@ def generate_corpus(
                 ts = start + _dt.timedelta(seconds=30 * idx)
                 rows.append((conv_id, np.int32(idx), role, text, tool, ts))
         families[b] = conv_ids
+
+        # shared-BLOCK hard negatives: every 3rd family gets a sibling
+        # conversation whose FIRST TURN IS IDENTICAL to the family's
+        # (same rare `caseNNNNN` anchor -> same rare-token blocking
+        # key, same canonical opening -> same string-merge prefix key)
+        # but whose remaining turns are an independently generated
+        # conversation on the same topic. These force precision to be
+        # EARNED at the blocking key — the pipeline blocks these pairs
+        # together and must still refuse to cluster them (the north
+        # rule scores F1 at shared blocking keys).
+        if b % 3 == 0:
+            sib_id = f"conv_{b:05d}_s"
+            sib_turns = [base_turns[0]] + _base_turns(b, rng)[1:]
+            sibling_of[b] = sib_id
+            perturb_of[sib_id] = "shared_block_sibling"
+            start = t0 + _dt.timedelta(minutes=int(rng.integers(0, 500_000)))
+            for idx, (role, text, tool) in enumerate(sib_turns):
+                ts = start + _dt.timedelta(seconds=30 * idx)
+                rows.append((sib_id, np.int32(idx), role, text, tool, ts))
 
     transcripts = pd.DataFrame(
         rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -190,6 +214,14 @@ def generate_corpus(
             c = families[other][0]
             lo, hi = (a, c) if a < c else (c, a)
             pair_rows.append((lo, hi, False, "hard_negative"))
+    # shared-block hard negatives: every family member vs its sibling —
+    # these pairs PROVABLY share a blocking key (identical first turn,
+    # same rare anchor token), so any FP here is a precision miss the
+    # blocker could not have hidden
+    for b, sib_id in sibling_of.items():
+        for a in families[b]:
+            lo, hi = (a, sib_id) if a < sib_id else (sib_id, a)
+            pair_rows.append((lo, hi, False, "hard_negative_shared_block"))
     labeled = pd.DataFrame(
         pair_rows, columns=["conv_id_a", "conv_id_b", "is_match", "perturbation"]
     )

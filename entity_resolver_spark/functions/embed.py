@@ -52,11 +52,25 @@ def embed_texts(
     dim: int = 64,
     batch_size: int = 512,
     encoder_fn: Callable[[], Callable[[list[str]], np.ndarray]] | None = None,
+    on_nonfinite: str = "error",
 ) -> DataFrame:
     """Append out_col: array<float> of length dim, encoder applied in
     Arrow-batched chunks of batch_size. encoder_fn is a FACTORY invoked
     once per partition iterator (per-executor model load), defaulting
-    to the deterministic hash encoder."""
+    to the deterministic hash encoder.
+
+    Encoder OUTPUT is validated per batch (real models fail in exactly
+    these ways — wrong projection head dim, fp16 overflow NaN/Inf):
+      * wrong shape (rows, dim mismatch) -> ValueError immediately, a
+        config error no amount of data should paper over;
+      * dtype is coerced to float32 (models emit float64/float16);
+      * non-finite values: on_nonfinite='error' (default) raises with
+        the offending row count; 'zero' replaces affected ROWS with the
+        zero vector — the same convention the hash encoder uses for
+        empty text — so downstream cosine math never sees NaN.
+    """
+    if on_nonfinite not in ("error", "zero"):
+        raise ValueError(f"on_nonfinite must be 'error' or 'zero', got {on_nonfinite!r}")
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in records.schema)
     out_schema = f"{fields}, {out_col} array<float>"
     factory = encoder_fn or (lambda: hash_encoder(dim))
@@ -66,7 +80,23 @@ def embed_texts(
         for pdf in batches:
             for lo in range(0, len(pdf), batch_size):
                 chunk = pdf.iloc[lo : lo + batch_size].copy()
-                vecs = encode(list(chunk[text_col].fillna("")))
+                vecs = np.asarray(encode(list(chunk[text_col].fillna(""))))
+                if vecs.shape != (len(chunk), dim):
+                    raise ValueError(
+                        f"encoder returned shape {vecs.shape}, expected "
+                        f"({len(chunk)}, {dim}) — encoder dim does not match "
+                        f"embed_texts(dim={dim})"
+                    )
+                vecs = vecs.astype(np.float32, copy=False)
+                bad = ~np.isfinite(vecs).all(axis=1)
+                if bad.any():
+                    if on_nonfinite == "error":
+                        raise ValueError(
+                            f"encoder produced non-finite values in "
+                            f"{int(bad.sum())}/{len(chunk)} rows of a batch "
+                            f"(pass on_nonfinite='zero' to null them out)"
+                        )
+                    vecs[bad] = 0.0
                 chunk[out_col] = [row.tolist() for row in vecs]
                 yield chunk
 

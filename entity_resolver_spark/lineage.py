@@ -20,6 +20,15 @@ originStats — sizeInBytes falls back to the (finite) session default
 and the compounding chain resets at every cut. No data moves; the
 rebuild is a driver-side plan-node swap.
 
+The rebuild rides private/classic-only APIs (`DataFrame._jdf`,
+`SparkSession.internalCreateDataFrame`,
+`pyspark.sql.classic.dataframe`). Under Spark Connect — where `_jdf`
+does not exist — or if a future Spark minor renames any of them, we
+DEGRADE to plain `localCheckpoint(eager=True)` with a one-time loud
+warning instead of crashing every pipeline run at once. The degraded
+mode is correct but re-exposes the stats-compounding pathology on
+deep iterative plans (tests/test_lineage.py pins both behaviors).
+
 This also restores the documented planning contract used throughout
 the repo ("checkpointed frames carry no stats, broadcast decisions are
 made from measured counts" — pipeline.py, refine.py): broadcasts stay
@@ -28,17 +37,56 @@ explicit and size-gated, never driven by compounded stat estimates.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
+
+# tri-state: None = not probed yet; True/False after the first cut.
+_REBUILD_AVAILABLE: bool | None = None
+
+
+def _try_rebuild(ck: DataFrame) -> DataFrame | None:
+    """Rebuild `ck` (already checkpointed) as a stats-free LogicalRDD,
+    or return None if the private APIs this needs are absent/changed."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+    except ImportError:
+        return None
+    if not (hasattr(ck, "_jdf") and hasattr(ck.sparkSession, "_jsparkSession")):
+        return None  # Spark Connect: no JVM handles on the driver
+    try:
+        spark = ck.sparkSession
+        qe = ck._jdf.queryExecution()
+        jdf = spark._jsparkSession.internalCreateDataFrame(
+            qe.toRdd(), qe.analyzed().schema(), False
+        )
+        return _ClassicDF(jdf, spark)
+    except Exception:  # any JVM-side signature drift
+        return None
 
 
 def eager_cut(df: DataFrame) -> DataFrame:
-    """localCheckpoint(eager) + drop propagated origin statistics."""
-    ck = df.localCheckpoint(eager=True)
-    spark = ck.sparkSession
-    qe = ck._jdf.queryExecution()
-    jdf = spark._jsparkSession.internalCreateDataFrame(
-        qe.toRdd(), qe.analyzed().schema(), False
-    )
-    from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+    """localCheckpoint(eager) + drop propagated origin statistics.
 
-    return _ClassicDF(jdf, spark)
+    Falls back to the plain checkpoint (stats retained) when the
+    private rebuild APIs are unavailable — warns once per process."""
+    global _REBUILD_AVAILABLE
+    ck = df.localCheckpoint(eager=True)
+    if _REBUILD_AVAILABLE is False:
+        return ck
+    rebuilt = _try_rebuild(ck)
+    if rebuilt is None:
+        _REBUILD_AVAILABLE = False
+        warnings.warn(
+            "lineage.eager_cut: private Spark APIs for the stats-free "
+            "rebuild are unavailable (Spark Connect, or internals moved); "
+            "falling back to plain localCheckpoint. Catalyst statistics "
+            "will COMPOUND through iterative self-joins — deep pipelines "
+            "(>~20 checkpointed layers) may hit very slow driver-side "
+            "planning (see lineage.py module docstring).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return ck
+    _REBUILD_AVAILABLE = True
+    return rebuilt

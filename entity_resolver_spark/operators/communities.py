@@ -98,27 +98,27 @@ def label_propagation(
             .where(F.col("__rn") == 1)
             .select(F.col("u").alias("id"), F.col("community").alias("new_community"))
         )
-        # semi-synchronous: only the active hash-parity side updates
+        # semi-synchronous: only the active hash-parity side updates.
+        # The changed-flag is computed IN the update projection so the
+        # convergence check is a trivial agg over the checkpointed rows
+        # — not (as before) a second full join+count job per round.
         parity = it % 2
+        upd = F.when(
+            (parity_expr(F.col("id")) == parity)
+            & F.col("new_community").isNotNull(),
+            F.col("new_community"),
+        ).otherwise(F.col("community"))
         updated = (
             labels.join(best, "id", "left")
-            .withColumn(
-                "community",
-                F.when(
-                    (parity_expr(F.col("id")) == parity)
-                    & F.col("new_community").isNotNull(),
-                    F.col("new_community"),
-                ).otherwise(F.col("community")),
+            .select(
+                "id",
+                upd.alias("community"),
+                (upd != F.col("community")).cast("int").alias("__chg"),
             )
-            .select("id", "community")
             .transform(eager_cut)
         )
-        changed = (
-            updated.join(labels.withColumnRenamed("community", "old"), "id")
-            .where(F.col("community") != F.col("old"))
-            .count()
-        )
-        labels = updated
+        changed = updated.agg(F.sum("__chg").alias("c")).first()["c"] or 0
+        labels = updated.drop("__chg")
         quiet = quiet + 1 if changed == 0 else 0
         if quiet >= 2:  # both parities quiesced back-to-back
             break
@@ -244,11 +244,15 @@ def break_bridges(
     Interplay with salted blocking (blocking.py ring-linked sub-blocks):
     a legitimate oversized family arrives as ring-linked sub-cliques —
     low density, so LPA may label each sub-clique separately. That is
-    safe BY PIPELINE ORDER: merge_clusters_vector (G9) runs after this
-    pass and re-merges them because true sub-family centroids are
-    near-parallel (cosine ~1), while genuinely distinct bridged
-    families stay split because their centroids are not. LPA proposes,
-    the vector merge disposes.
+    safe BY PIPELINE ORDER: merge_clusters_vector (G9) runs IMMEDIATELY
+    after this pass (before evict/reassign, so those see whole-family
+    centroids, not LPA fragments) and re-merges them because true
+    sub-family centroids are near-parallel (cosine ~1), while genuinely
+    distinct bridged families stay split because their centroids are
+    not. LPA proposes, the vector merge disposes. The density floor
+    itself cannot be lowered much below the default: a bridged pair of
+    equal-size cliques has internal density ≈ 0.5, so a floor under
+    ~0.5 would skip exactly the clusters this pass exists to split.
     """
     sizes = records.groupBy(cluster_col).agg(F.count("*").alias("__n"))
     big = sizes.where(F.col("__n") >= min_component)

@@ -49,22 +49,36 @@ def score_pairs(
 
     The JVM prefilter (binary overlap cosine on vec_idx, which rides
     along for the TF-IDF cosine anyway) still gates the Python kernels:
-    only surviving rows reach Arrow."""
+    only surviving rows reach Arrow.
+
+    String kernels run on a HEAD and a TAIL window and take the MIN:
+    transcript corpora routinely share templated openings, and a
+    head-prefix-only jw/lev scores two different conversations with
+    the same boilerplate opening as near-identical (jw is
+    prefix-dominated by construction). A true duplicate is similar
+    everywhere, so min(head, tail) is the honest prefix-capped
+    estimate of full-string similarity; for docs shorter than the
+    window the two windows coincide and the min degenerates to the
+    old value. (Same argument as merge_clusters_string's tail-window
+    verification, refine.py.)"""
     cap = max(cfg.lev_prefix_chars, cfg.jw_prefix_chars)
     attrs = records.select(
         "conv_id",
         F.substring("norm_text", 1, cap).alias("txt"),
+        F.expr(
+            f"substring(norm_text, greatest(length(norm_text) - {cap - 1}, 1), {cap})"
+        ).alias("txt_tail"),
         "vec_blob",
     )
     if broadcast_records:
         attrs = F.broadcast(attrs)
     aa = attrs.select(
         F.col("conv_id").alias("conv_a"), F.col("txt").alias("txt_a"),
-        F.col("vec_blob").alias("blob_a"),
+        F.col("txt_tail").alias("tail_a"), F.col("vec_blob").alias("blob_a"),
     )
     ab = attrs.select(
         F.col("conv_id").alias("conv_b"), F.col("txt").alias("txt_b"),
-        F.col("vec_blob").alias("blob_b"),
+        F.col("txt_tail").alias("tail_b"), F.col("vec_blob").alias("blob_b"),
     )
 
     # candidate pairs are few bytes each, so AQE coalesces them into a
@@ -85,9 +99,19 @@ def score_pairs(
         .withColumn("cos_tfidf", F.col("cs.cos"))
         .where(F.col("cos_tokens") >= PREFILTER_FLOOR)
         .withColumn(
-            "lev_sim", lev_sim_expr(F.col("txt_a"), F.col("txt_b"), cfg.lev_prefix_chars)
+            "lev_sim",
+            F.least(
+                lev_sim_expr(F.col("txt_a"), F.col("txt_b"), cfg.lev_prefix_chars),
+                lev_sim_expr(F.col("tail_a"), F.col("tail_b"), cfg.lev_prefix_chars),
+            ),
         )
-        .withColumn("jw_sim", jw_expr(F.col("txt_a"), F.col("txt_b"), cfg.jw_prefix_chars))
+        .withColumn(
+            "jw_sim",
+            F.least(
+                jw_expr(F.col("txt_a"), F.col("txt_b"), cfg.jw_prefix_chars),
+                jw_expr(F.col("tail_a"), F.col("tail_b"), cfg.jw_prefix_chars),
+            ),
+        )
         .withColumn(
             "score",
             cfg.w_jaro_winkler * F.col("jw_sim")

@@ -210,9 +210,22 @@ def merge_clusters_string(
         tokens even when a hot prefix key was dropped, so capping the
         prefix channel loses no family-sized recall (same discipline
         as blocking.py's C3).
-    The jw/lev verification runs on STRING_SIM_PREFIX-char prefixes
-    (transcript canonicals are multi-KB; the DP cost argument of
-    ScoringConfig.lev_prefix_chars applies here too)."""
+
+    Verification must NOT run on a head prefix alone: transcript
+    corpora routinely share >=256-char templated openings, and two
+    distinct clusters with the same generic opening would score
+    jw=lev=1.0 on prefixes and merge unconditionally. So a candidate
+    pair merges only if ALL of:
+      * head window (first STRING_SIM_PREFIX chars) passes both
+        jw/lev floors;
+      * tail window (last STRING_SIM_PREFIX chars) passes both
+        floors — shared boilerplate openings don't fake this;
+      * full-length ratio min(len)/max(len) >= lev_floor — a true
+        NECESSARY condition for full-string normalized Levenshtein
+        (lev >= |la-lb|, so sim <= min/max), costing one comparison.
+    Windows (not full strings) keep the DP bounded: canonicals are
+    multi-KB and lev is O(len^2) per pair — the cost argument of
+    ScoringConfig.lev_prefix_chars."""
     from entity_resolver_spark.operators.canonical import canonical_by_frequency
 
     canon, _ = _materialize(canonical_by_frequency(records, cluster_col))
@@ -239,24 +252,45 @@ def merge_clusters_string(
         .where(F.col("__rk") <= 3)
         .select(cluster_col, F.concat(F.lit("t:"), F.col("token")).alias("k"))
     )
+    win = STRING_SIM_PREFIX
     keyed = _drop_hot_keys(
         prefix_keys.unionByName(rare_keys), "k", STRING_KEY_CAP
     ).join(
         canon.select(
             cluster_col,
-            F.substring("canonical_text", 1, STRING_SIM_PREFIX).alias("canonical_text"),
+            F.substring("canonical_text", 1, win).alias("__head"),
+            F.expr(
+                f"substring(canonical_text, "
+                f"greatest(length(canonical_text) - {win - 1}, 1), {win})"
+            ).alias("__tail"),
+            F.length("canonical_text").alias("__len"),
         ),
         cluster_col,
     )
-    a = keyed.select(F.col("k"), F.col(cluster_col).alias("ca"), F.col("canonical_text").alias("ta"))
-    b = keyed.select(F.col("k"), F.col(cluster_col).alias("cb"), F.col("canonical_text").alias("tb"))
+    a = keyed.select(
+        F.col("k"), F.col(cluster_col).alias("ca"),
+        F.col("__head").alias("ha"), F.col("__tail").alias("za"), F.col("__len").alias("la"),
+    )
+    b = keyed.select(
+        F.col("k"), F.col(cluster_col).alias("cb"),
+        F.col("__head").alias("hb"), F.col("__tail").alias("zb"), F.col("__len").alias("lb"),
+    )
     cand = (
         a.join(b, "k")
         .where(F.col("ca") < F.col("cb"))
         .dropDuplicates(["ca", "cb"])  # a pair can arrive via several keys
-        .withColumn("jw", jw_expr(F.col("ta"), F.col("tb")))
-        .withColumn("lev", lev_sim_expr(F.col("ta"), F.col("tb")))
+        # necessary length condition first — pure codegen, prunes pairs
+        # before any string kernel runs
+        .where(
+            F.least(F.col("la"), F.col("lb"))
+            >= lev_floor * F.greatest(F.col("la"), F.col("lb"))
+        )
+        .withColumn("jw", jw_expr(F.col("ha"), F.col("hb")))
+        .withColumn("lev", lev_sim_expr(F.col("ha"), F.col("hb")))
         .where((F.col("jw") >= jw_floor) & (F.col("lev") >= lev_floor))
+        .withColumn("jw_t", jw_expr(F.col("za"), F.col("zb")))
+        .withColumn("lev_t", lev_sim_expr(F.col("za"), F.col("zb")))
+        .where((F.col("jw_t") >= jw_floor) & (F.col("lev_t") >= lev_floor))
         .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
     )
     return _apply_merge(records, cand, cluster_col)
@@ -443,12 +477,22 @@ def reassign_singletons(
     test, utils/clustering.py:31-260) — the weighted score decides
     WHICH cluster wins (size/cohesion break near-ties), the cosine
     floor decides WHETHER anything is close enough."""
-    sizes = records.groupBy(cluster_col).agg(F.count("*").alias("__n"))
-    rec = records.join(sizes, cluster_col)
+    # sizes is cluster-count-sized: materialize it ONCE and take both
+    # existence checks from its rows — the previous
+    # singles.isEmpty()/multi.isEmpty() pair executed the un-cut
+    # records⋈sizes plan twice before any work happened
+    sizes, n_sizes = _materialize(
+        records.groupBy(cluster_col).agg(F.count("*").alias("__n"))
+    )
+    counts = sizes.agg(
+        F.count(F.when(F.col("__n") == 1, 1)).alias("n_single"),
+        F.count(F.when(F.col("__n") > 1, 1)).alias("n_multi"),
+    ).first()
+    if counts["n_single"] == 0 or counts["n_multi"] == 0:
+        return records
+    rec = records.join(_maybe_broadcast(sizes, n_sizes, MAP_BROADCAST_CAP), cluster_col)
     singles = rec.where(F.col("__n") == 1).select("conv_id", "vec_idx", "vec_val", cluster_col)
     multi = rec.where(F.col("__n") > 1)
-    if singles.isEmpty() or multi.isEmpty():
-        return records
 
     prof, n_prof = _materialize(cluster_profiles(multi, cluster_col))
     # avg member->centroid cosine per cluster (reference avg_probability
@@ -552,15 +596,21 @@ def enrich_metadata(
     address_was_enriched (refiner.py:328-421); here the 'best' donor is
     the modal non-empty tools array with deterministic tie-breaks
     (freq desc, then array lexicographic — reference O14)."""
-    nonempty = records.where(F.size("tools") > 0)
-    freq = nonempty.groupBy(cluster_col, "tools").agg(F.count("*").alias("__f"))
+    # election groups by the SORTED array: tools is set-semantics, and
+    # the same multiset stored in different orders must vote together
+    # (raw-array grouping splits its votes and can elect a less-common
+    # set); the donor written back is the sorted representative
+    nonempty = records.where(F.size("tools") > 0).select(
+        cluster_col, F.array_sort("tools").alias("__tools_s")
+    )
+    freq = nonempty.groupBy(cluster_col, "__tools_s").agg(F.count("*").alias("__f"))
     w = W.partitionBy(cluster_col).orderBy(
-        F.col("__f").desc(), F.col("tools").asc()
+        F.col("__f").desc(), F.col("__tools_s").asc()
     )
     donor, n_donor = _materialize(
         freq.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") == 1)
-        .select(cluster_col, F.col("tools").alias("__donor_tools"))
+        .select(cluster_col, F.col("__tools_s").alias("__donor_tools"))
     )
     out = records.join(
         _maybe_broadcast(donor, n_donor, MAP_BROADCAST_CAP), cluster_col, "left"

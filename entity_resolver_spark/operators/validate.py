@@ -144,12 +144,20 @@ def split_on_metadata(
         # reference's multi-state split: a truncated duplicate whose
         # tools are a subset of the family's still overlaps the modal
         # set, while a genuinely different entity's tools don't.
+        # election groups by the SORTED array — tools is set-semantics,
+        # so the same multiset stored in different orders must vote
+        # together (the downstream arrays_overlap test is already
+        # order-insensitive; the election must be too)
         modal = (
             out.where(F.size("tools") > 0)
-            .groupBy(cluster_col, "tools")
+            .groupBy(cluster_col, F.array_sort("tools").alias("__tools_s"))
             .count()
             .groupBy(cluster_col)
-            .agg(F.max_by("tools", F.struct("count", "tools")).alias("__modal_tools"))
+            .agg(
+                F.max_by("__tools_s", F.struct("count", "__tools_s")).alias(
+                    "__modal_tools"
+                )
+            )
         )
         out = (
             out.join(modal, cluster_col, "left")

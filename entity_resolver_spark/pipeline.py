@@ -203,6 +203,23 @@ class EntityResolverPipeline:
                     density_floor=cfg.clustering.bridge_density_floor,
                 ).transform(eager_cut)
             ref = cfg.refinement
+            # G9 vector merge runs FIRST among the refinement passes,
+            # immediately after bridge-breaking: LPA (deliberately) may
+            # label a sparse-but-legitimate family's sub-cliques
+            # separately (salted ring-linked blocks arrive sparse), and
+            # the density gate cannot sit below ~0.5 — a bridged pair
+            # of equal cliques has density ≈ 0.5, so a "lower floor"
+            # fix would miss exactly the bridge case. Reconciling via
+            # centroid merge BEFORE evict/reassign means eviction
+            # z-scores and reassignment targets are computed against
+            # whole-family centroids, not LPA fragments. Eviction only
+            # mints singletons and reassignment only attaches them, so
+            # neither creates new near-parallel cluster pairs — one
+            # merge pass up front is sufficient.
+            if ref.merge_vector:
+                out = merge_clusters_vector(
+                    out, centroid_cosine_floor=ref.merge_centroid_cosine_floor
+                ).transform(eager_cut)
             if ref.evict_outliers:
                 out = evict_outliers(
                     out,
@@ -223,10 +240,6 @@ class EntityResolverPipeline:
                     soft_penalty=ref.assign_soft_penalty,
                     min_viable=ref.assign_min_viable,
                     score_margin=ref.assign_score_margin,
-                ).transform(eager_cut)
-            if ref.merge_vector:
-                out = merge_clusters_vector(
-                    out, centroid_cosine_floor=ref.merge_centroid_cosine_floor
                 ).transform(eager_cut)
             if ref.merge_string:
                 out = merge_clusters_string(

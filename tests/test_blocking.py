@@ -169,3 +169,31 @@ def test_phonetic_channel_missing_column_raises(spark):
     # and deliberate disabling works
     cfg_off = BlockingConfig(unigrams_col=None, phonetic=False)
     assert blocking_keys(df, cfg_off).count() > 0
+
+
+def test_shared_block_hard_negatives_are_actually_co_blocked(spark, corpus):
+    """The corpus's `hard_negative_shared_block` pairs exist to make
+    precision earned AT the blocking key (the north rule scores F1 at
+    shared blocks): every such pair shares its family's first turn, so
+    the blocker MUST emit it as a candidate — if it doesn't, the
+    'hard' negatives never reached the scorer and P=1.0 is vacuous."""
+    recs = _records(spark, corpus)
+    _, labeled = corpus
+    shared = labeled.where("perturbation = 'hard_negative_shared_block'")
+    n_shared = shared.count()
+    assert n_shared > 0, "corpus no longer contains shared-block negatives"
+    pairs, _ = candidate_pairs(recs, BlockingConfig())
+    got = {(r["conv_a"], r["conv_b"]) for r in pairs.collect()}
+    missed = [
+        (r["conv_id_a"], r["conv_id_b"])
+        for r in shared.collect()
+        if (r["conv_id_a"], r["conv_id_b"]) not in got
+        and (r["conv_id_b"], r["conv_id_a"]) not in got
+    ]
+    # every sibling shares the anchor token + opening with its family;
+    # candidate generation must surface (at least the vast majority of)
+    # these pairs — allow a sliver for block-size caps on big families
+    assert len(missed) <= max(1, n_shared // 20), (
+        f"{len(missed)}/{n_shared} shared-block negatives never co-blocked: "
+        f"{missed[:5]}"
+    )

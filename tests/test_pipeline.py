@@ -175,3 +175,24 @@ def test_tool_conflict_family_splits_e2e(spark):
     assert len(search_side) == 1 and len(mailer_side) == 1
     assert search_side != mailer_side
     assert q1_violations(res).count() == 0
+
+
+def test_precision_perfect_on_shared_block_negatives(resolved, corpus):
+    """The north rule scores F1 at shared blocking keys: the corpus's
+    `hard_negative_shared_block` pairs are co-blocked by construction
+    (identical first turn, same rare anchor), so every one the pipeline
+    clusters together is a precision miss the blocker could not have
+    hidden. The head+tail-window string scoring (pairs.py) is what
+    earns this — head-only scoring merged ~1/4 of these pairs."""
+    _, labeled = corpus
+    res, _ = resolved
+    cl = res.select("conv_id", "cluster")
+    j = (
+        labeled.where("perturbation = 'hard_negative_shared_block'")
+        .join(cl.withColumnRenamed("conv_id", "conv_id_a").withColumnRenamed("cluster", "ca"), "conv_id_a")
+        .join(cl.withColumnRenamed("conv_id", "conv_id_b").withColumnRenamed("cluster", "cb"), "conv_id_b")
+    )
+    n = j.count()
+    fp = j.filter("ca = cb").count()
+    assert n > 0, "shared-block negatives missing from the labeled pairs"
+    assert fp == 0, f"{fp}/{n} co-blocked non-duplicates were clustered together"
