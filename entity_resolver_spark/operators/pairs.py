@@ -58,10 +58,21 @@ def score_pairs(
     prefix-dominated by construction). A true duplicate is similar
     everywhere, so min(head, tail) is the honest prefix-capped
     estimate of full-string similarity; for docs shorter than the
-    window the two windows coincide and the min degenerates to the
-    old value. (Same argument as merge_clusters_string's tail-window
-    verification, refine.py.)"""
-    cap = max(cfg.lev_prefix_chars, cfg.jw_prefix_chars)
+    windows they overlap and the min degenerates toward the old
+    value. (Same argument as merge_clusters_string's tail-window
+    verification, refine.py.)
+
+    The configured char budget is SPLIT between the windows (each
+    gets prefix_chars/2): two half-size windows cost the same
+    O(w^2) DP cells per pair as one full-size prefix — measured at
+    12.8M turns, full-size double windows inflated the dominant
+    pair_scores stage 1.75x — while sampling two regions of the doc
+    discriminates at least as well (perturbations spread through the
+    whole doc; the r2 measurement that halving the prefix 256->128
+    loses nothing applies per-window)."""
+    lev_win = max(16, cfg.lev_prefix_chars // 2)
+    jw_win = max(16, cfg.jw_prefix_chars // 2)
+    cap = max(lev_win, jw_win)
     attrs = records.select(
         "conv_id",
         F.substring("norm_text", 1, cap).alias("txt"),
@@ -101,15 +112,15 @@ def score_pairs(
         .withColumn(
             "lev_sim",
             F.least(
-                lev_sim_expr(F.col("txt_a"), F.col("txt_b"), cfg.lev_prefix_chars),
-                lev_sim_expr(F.col("tail_a"), F.col("tail_b"), cfg.lev_prefix_chars),
+                lev_sim_expr(F.col("txt_a"), F.col("txt_b"), lev_win),
+                lev_sim_expr(F.col("tail_a"), F.col("tail_b"), lev_win),
             ),
         )
         .withColumn(
             "jw_sim",
             F.least(
-                jw_expr(F.col("txt_a"), F.col("txt_b"), cfg.jw_prefix_chars),
-                jw_expr(F.col("tail_a"), F.col("tail_b"), cfg.jw_prefix_chars),
+                jw_expr(F.col("txt_a"), F.col("txt_b"), jw_win),
+                jw_expr(F.col("tail_a"), F.col("tail_b"), jw_win),
             ),
         )
         .withColumn(
