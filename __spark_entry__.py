@@ -519,18 +519,27 @@ def q_resolve_entities(spark, sf_dir):
 
 
 def q_minhash_dedup(spark, sf_dir):
+    """MinHash-LSH near-dup pairs in PORTABLE-hash mode (affine family
+    over poly_hash_expr — see minhash_signature_portable): the DuckDB
+    oracle replicates the SIGNATURES and the BANDING, so candidate
+    generation is identical in both engines and the verified output
+    value-checks end-to-end. Production default stays xxhash64."""
     from entity_resolver_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    out = minhash_lsh_pairs(docs, jaccard_floor=0.5)
+    out = minhash_lsh_pairs(docs, jaccard_floor=0.5, portable=True)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup pairs in PORTABLE-hash mode (poly31 | poly37<<30
+    token hash). Pigeonhole banding has recall EXACTLY 1 at the declared
+    threshold, so the output equals brute-force-over-all-pairs — which
+    is what the DuckDB oracle computes. Production stays xxhash64."""
     from entity_resolver_spark.operators.dedup import simhash_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=6)
+    return simhash_pairs(docs, max_hamming=6, portable=True)
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -554,8 +563,14 @@ def q_ivf_topk(spark, sf_dir):
 
 def q_embedding_dedup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via OR-amplified sign-sketch LSH
-    + exact-cosine verification (rows-only: bucket hashing is seeded
-    NumPy, not SQL-portable; recall property is pytest-verified)."""
+    + exact-cosine verification. The bucket hashing is seeded NumPy (not
+    SQL-portable), but the oracle can still value-check the OUTPUT: it
+    brute-forces exact cosine over all pairs, and on this corpus the
+    only pairs >= the 0.95 floor are the 200 planted perturbed copies at
+    cosine ~0.994, where the 10-bit x 8-table sketch's per-pair miss
+    probability is ~6e-5 — and deterministic for the fixed seed + data,
+    so equality is verified-once-holds-always (the recall PROPERTY at
+    the floor is separately pytest-verified)."""
     from entity_resolver_spark.operators.dedup import embedding_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings").select(
@@ -682,11 +697,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completeness": q_completeness,
         "ivf_topk": q_ivf_topk,
         "doc_fingerprint": q_doc_fingerprint,
-        # rows-only (non-portable hashing / Arrow-only kernels / pipeline)
-        "resolve_entities": q_resolve_entities,
+        # oracle-checked since r4 via portable-hash modes / brute-force oracle
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_dedup": q_embedding_dedup,
+        # rows-only (full pipeline / NumPy-rng features / Arrow phonetic kernel)
+        "resolve_entities": q_resolve_entities,
         "media_features": q_media_features,
         "phonetic_block": q_phonetic_block,
     }
@@ -1029,6 +1045,126 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
+        """,
+        # portable minhash (see q_minhash_dedup): replicates the exact
+        # signatures (affine over poly31) AND the banding (n_hashes=32,
+        # pick_banding(32, 0.5) -> 16 bands x 2 rows), so both engines
+        # generate identical candidates; verification is exact Jaccard
+        "minhash_dedup": f"""
+            WITH words AS (
+              SELECT doc_id, {words} AS w FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(w) >= 3
+                          THEN array_to_string(list_slice(w, i + 1, i + 3), ' ')
+                          ELSE array_to_string(w, ' ') END AS s
+              FROM words, unnest(range(greatest(len(w) - 2, 1))) AS t(i)
+            ),
+            ph AS (
+              SELECT doc_id, s,
+                     CASE WHEN s IS NULL OR length(s) = 0 THEN 0
+                     ELSE list_reduce(
+                       list_transform(range(1, length(s) + 1),
+                                      i -> CAST(ascii(substring(s, i, 1)) AS BIGINT)),
+                       (a, b) -> (a * 31 + b) % 1000000007)
+                     END AS h
+              FROM sh
+            ),
+            sig AS (
+              SELECT doc_id, i,
+                     min(((2 * i + 3) * h + (5 * i + 7)) % 1000000007) AS v
+              FROM ph, unnest(range(32)) AS hs(i)
+              GROUP BY doc_id, i
+            ),
+            bands AS (
+              SELECT doc_id,
+                     'b' || CAST(i // 2 AS VARCHAR) || '_' ||
+                     string_agg(CAST(v AS VARCHAR), '_' ORDER BY i) AS bk
+              FROM sig GROUP BY doc_id, i // 2
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS ni
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.5
+        """,
+        # portable simhash (see q_simhash_dedup): pigeonhole recall is
+        # deterministically 1, so the LSH output equals brute force —
+        # the oracle computes the same 60-bit simhash per doc and
+        # brute-forces hamming over all pairs
+        "simhash_dedup": f"""
+            WITH words AS (
+              SELECT doc_id, {words} AS w FROM documents
+            ),
+            tok AS (SELECT doc_id, t FROM words, unnest(w) AS u(t)),
+            m AS (
+              SELECT doc_id,
+                     list_reduce(
+                       list_transform(range(1, length(t) + 1),
+                                      i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)),
+                       (a, b) -> (a * 31 + b) % 1000000007) * 1073741827
+                     + list_reduce(
+                         list_transform(range(1, length(t) + 1),
+                                        i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)),
+                         (a, b) -> (a * 37 + b) % 1000000007) * 715827883 AS m
+              FROM tok
+            ),
+            th AS (
+              SELECT doc_id,
+                     xor(m, m >> 17) & ((CAST(1 AS BIGINT) << 60) - 1) AS h
+              FROM m
+            ),
+            nt AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+            votes AS (
+              SELECT doc_id, j, sum((h >> j) & 1) AS v
+              FROM th, unnest(range(60)) AS bits(j)
+              GROUP BY doc_id, j
+            ),
+            sim AS (
+              SELECT v.doc_id,
+                     CAST(sum(CASE WHEN 2 * v.v >= nt.n
+                              THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sim
+              FROM votes v JOIN nt ON nt.doc_id = v.doc_id
+              GROUP BY v.doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 6
+        """,
+        # embedding near-dup (see q_embedding_dedup): brute-force exact
+        # cosine over base + planted perturbed copies; the only pairs
+        # over the floor are the planted ones, which the sketch finds
+        # deterministically for this seed + data
+        "embedding_dedup": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            pert AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(v, (x, i) ->
+                       x + CAST(0.02 AS DOUBLE) * sin(CAST(i - 1 AS DOUBLE))) AS v
+              FROM base WHERE vec_id < 200
+            ),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 5) AS cosine
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.95
         """,
         "token_stats": f"""
             WITH w AS (

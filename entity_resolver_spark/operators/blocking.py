@@ -61,6 +61,26 @@ def minhash_signature(tokens_col, n_hashes: int) -> "F.Column":
     return F.array(*[_min_hash_i(tokens_col, i) for i in range(n_hashes)])
 
 
+POLY_MOD = 1_000_000_007  # matches textstats.poly_hash_expr default
+
+
+def minhash_signature_portable(hashes_col, n_hashes: int) -> "F.Column":
+    """Engine-portable MinHash over PRE-HASHED token values (one
+    poly_hash_expr per token, computed once by the caller — not per
+    hash function): sig[i] = min over h of ((2i+3)*h + (5i+7)) % p.
+    The affine family is weaker dispersion than xxhash64 but exactly
+    reproducible in DuckDB SQL, which is what makes minhash_lsh_pairs
+    value-checkable end-to-end (production keeps xxhash64)."""
+
+    def mh(i: int) -> "F.Column":
+        a, b = 2 * i + 3, 5 * i + 7
+        return F.array_min(
+            F.transform(hashes_col, lambda h: F.pmod(h * a + b, F.lit(POLY_MOD)))
+        )
+
+    return F.array(*[mh(i) for i in range(n_hashes)])
+
+
 def band_keys(sig_col, n_hashes: int, n_bands: int) -> "F.Column":
     """Array of band keys 'b<i>:<h1>_<h2>_...' from a MinHash signature."""
     rows = n_hashes // n_bands

@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from entity_resolver_spark.operators.blocking import band_keys, minhash_signature
+from entity_resolver_spark.operators.blocking import (
+    band_keys,
+    minhash_signature,
+    minhash_signature_portable,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -99,6 +103,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 32,
     n_bands: int | None = None,
     jaccard_floor: float = 0.7,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via shingle->minhash->band->join,
     verified with exact shingle-set Jaccard (estimated-then-verified,
@@ -107,6 +112,12 @@ def minhash_lsh_pairs(
     Banding is derived from jaccard_floor (pick_banding) unless given —
     r1 shipped fixed b=8/r=4, which has only ~40% recall at floor 0.5.
 
+    portable=True swaps xxhash64 for the affine-over-poly-hash family
+    (minhash_signature_portable) a DuckDB oracle reproduces exactly —
+    every shingle is poly-hashed ONCE, then each of the n_hashes
+    functions is a cheap affine transform. Production default stays
+    xxhash64 (better dispersion, O(len) per shingle).
+
     Shuffle discipline: the band join carries ONLY (band_key, id) — the
     full shingle arrays are attached once per side AFTER pair dedup
     (r1 shipped them through every band bucket: ~n_bands x payload
@@ -114,7 +125,17 @@ def minhash_lsh_pairs(
     if n_bands is None:
         n_bands = pick_banding(n_hashes, jaccard_floor)
     sh = docs.select(F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_n).alias("sh"))
-    sig = sh.select("id", minhash_signature(F.col("sh"), n_hashes).alias("sig"))
+    if portable:
+        from entity_resolver_spark.operators.textstats import poly_hash_expr
+
+        hashed = sh.select(
+            "id", "sh", F.transform("sh", lambda t: poly_hash_expr(t)).alias("ph")
+        )
+        sig = hashed.select(
+            "id", minhash_signature_portable(F.col("ph"), n_hashes).alias("sig")
+        )
+    else:
+        sig = sh.select("id", minhash_signature(F.col("sh"), n_hashes).alias("sig"))
     banded = sig.select(
         "id", F.explode(band_keys(F.col("sig"), n_hashes, n_bands)).alias("bk")
     )
@@ -208,21 +229,44 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming. Candidate
     generation by chunk equality with n_chunks = max_hamming + 1
     (pigeonhole: <= max_hamming flips always leave one chunk intact,
     so recall is GUARANTEED at the declared threshold — r1 shipped a
     fixed 4-chunk split that silently lost recall for max_hamming > 3);
-    verification via bit_count."""
+    verification via bit_count.
+
+    portable=True hashes tokens with a 60-bit mix DuckDB reproduces
+    exactly — m = poly31*K1 + poly37*K2, h = (m XOR m>>17) & (2^60-1);
+    the multiply-and-xorshift step matters because raw poly hashes of
+    short tokens stay below 31^len, leaving high bits near-constant and
+    the simhash bits correlated (measured: 9,627 hamming<=6 pairs on
+    the sf0.01 corpus without mixing vs 378 with, production xxhash64:
+    179). Bits 60-63 are constant 0, so hamming is unaffected. Since
+    pigeonhole recall is deterministically 1, the portable output
+    EQUALS brute-force-over-all-pairs, which is what the oracle
+    computes. Production stays xxhash64 (full 64 bits, O(len)/token)."""
     words = F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9 ]", " ")), r"\s+")
     toks = F.filter(words, lambda t: F.length(t) > 0)
+    if portable:
+        from entity_resolver_spark.operators.textstats import poly_hash_expr
+
+        def tok_hash(t):
+            # poly values < 2^30, multipliers < 2^30 -> m < 2^61: exact
+            # in signed 64-bit on both engines, no overflow
+            m = poly_hash_expr(t, base=31) * 1073741827 + poly_hash_expr(t, base=37) * 715827883
+            return m.bitwiseXOR(F.shiftright(m, 17)).bitwiseAND(F.lit((1 << 60) - 1))
+
+    else:
+        tok_hash = F.xxhash64
     # materialize token hashes as a real column: referenced 64 times by
     # the per-bit votes, and a non-cheap expression tree would be
     # re-evaluated per reference if inlined
     hashed = docs.select(
         F.col(id_col).alias("id"),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
+        F.transform(toks, lambda t: tok_hash(t)).alias("th"),
     )
     sh = hashed.select("id", simhash64(F.col("th")).alias("sim"))
     n_chunks = max_hamming + 1

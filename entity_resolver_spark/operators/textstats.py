@@ -103,18 +103,20 @@ def lang_id_expr(text: Column) -> Column:
     return F.when(best["hits"] >= 2, best["code"]).otherwise(F.lit("und"))
 
 
-def poly_hash_expr(s: Column, mod: int = 1_000_000_007) -> Column:
-    """Deterministic polynomial string hash ((h*31 + codepoint) % mod
+def poly_hash_expr(s: Column, mod: int = 1_000_000_007, base: int = 31) -> Column:
+    """Deterministic polynomial string hash ((h*base + codepoint) % mod
     folded over the characters) — an engine-portable alternative to
     xxhash64: DuckDB computes the identical value with
     list_reduce(list_transform(range, ascii), ...), which is what makes
     the fingerprint oracle value-checkable. substr-per-index costs
     O(len^2), so use on short grams only (the winnowing 3-grams are
-    ~20 chars)."""
+    ~20 chars). `base` selects an independent family member (31 and 37
+    are combined into a 60-bit portable token hash by the simhash
+    portable mode)."""
     return F.aggregate(
         F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
         F.lit(0).cast("long"),
-        lambda acc, i: F.pmod(acc * 31 + F.ascii(s.substr(i, F.lit(1))), F.lit(mod)),
+        lambda acc, i: F.pmod(acc * base + F.ascii(s.substr(i, F.lit(1))), F.lit(mod)),
     )
 
 

@@ -156,3 +156,110 @@ def test_minhash_banding_derived_from_floor():
         r = n_hashes // b
         recall = 1.0 - (1.0 - floor**r) ** b
         assert recall >= 0.95, (n_hashes, floor, b, recall)
+
+
+# ---------------------------------------------------------------------------
+# portable-hash modes (what makes minhash/simhash DuckDB-oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def test_portable_minhash_same_semantics(docs):
+    """portable=True swaps only the hash family; the verified output is
+    exact-Jaccard pairs either way, so values agree pair-for-pair and
+    no cross-family false positives appear."""
+    prod = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, jaccard_floor=0.5).collect()
+    }
+    port = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, jaccard_floor=0.5, portable=True).collect()
+    }
+    assert (1, 2) in port and (1, 3) in port and (2, 3) in port
+    for k in set(prod) & set(port):
+        assert prod[k] == pytest.approx(port[k], abs=1e-12)
+    assert not any({a, b} & {1, 2, 3} and {a, b} & {4, 5} for a, b in port)
+
+
+def test_portable_simhash_pigeonhole_vs_bruteforce(spark):
+    """The recall-1 pigeonhole guarantee is hash-independent: under the
+    portable 60-bit mixed hash, banded output still equals brute force
+    over all pairs (the exact property the DuckDB oracle relies on)."""
+    import itertools
+    import random
+
+    from entity_resolver_spark.operators.dedup import simhash64
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(150)]
+    rows = [(i, " ".join(rng.sample(vocab, 25))) for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, max_hamming=8, portable=True).collect()
+    }
+
+    from entity_resolver_spark.operators.textstats import poly_hash_expr
+
+    words = F.split(F.lower(F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9 ]", " ")), r"\s+")
+    toks = F.filter(words, lambda t: F.length(t) > 0)
+
+    def tok_hash(t):
+        m = poly_hash_expr(t, base=31) * 1073741827 + poly_hash_expr(t, base=37) * 715827883
+        return m.bitwiseXOR(F.shiftright(m, 17)).bitwiseAND(F.lit((1 << 60) - 1))
+
+    sims = {
+        r["doc_id"]: r["sim"]
+        for r in docs.select(
+            "doc_id", simhash64(F.transform(toks, lambda t: tok_hash(t))).alias("sim")
+        ).collect()
+    }
+    expect = {}
+    for a, b in itertools.combinations(sorted(sims), 2):
+        h = bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+        if h <= 8:
+            expect[(a, b)] = h
+    assert got == expect
+
+
+def test_portable_token_hash_duckdb_parity(spark):
+    """Pin the cross-engine contract: the 60-bit mixed token hash (and
+    the poly31 base hash under it) computes the IDENTICAL value in
+    DuckDB SQL — this is what the driver's simhash/minhash oracles
+    stand on, so a drift in either engine's arithmetic must fail here
+    first."""
+    import duckdb
+
+    from entity_resolver_spark.operators.textstats import poly_hash_expr
+
+    toks = ["hello", "world123", "a", "transcripts", "q7x", "0", "longertokenvalue"]
+    sdf = spark.createDataFrame([(t,) for t in toks], "t string")
+    m = (
+        poly_hash_expr(F.col("t"), base=31) * 1073741827
+        + poly_hash_expr(F.col("t"), base=37) * 715827883
+    )
+    h = m.bitwiseXOR(F.shiftright(m, 17)).bitwiseAND(F.lit((1 << 60) - 1))
+    got = {
+        r["t"]: (r["h"], r["p31"])
+        for r in sdf.select(
+            "t", h.alias("h"), poly_hash_expr(F.col("t"), base=31).alias("p31")
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    poly = (
+        "list_reduce(list_transform(range(1, length(t) + 1), "
+        "i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), "
+        "(a, b) -> (a * {base} + b) % 1000000007)"
+    )
+    for t, (hv, p31v) in got.items():
+        row = con.execute(
+            f"""SELECT xor(m, m >> 17) & ((CAST(1 AS BIGINT) << 60) - 1), p31
+                FROM (SELECT {poly.format(base=31)} * 1073741827
+                           + {poly.format(base=37)} * 715827883 AS m,
+                           {poly.format(base=31)} AS p31
+                      FROM (SELECT ? AS t))""",
+            [t],
+        ).fetchone()
+        assert row[0] == hv, t
+        assert row[1] == p31v, t
