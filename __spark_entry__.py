@@ -31,7 +31,19 @@ TABLES = [
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The test tables are single-row-group parquet files, so the scan
+    # yields ONE input partition and every pre-shuffle expression (pair
+    # expansion, tokenize/hash, per-row scoring) runs on one core. Spread
+    # such scans across the session's cores, hash-partitioned on the
+    # leading key column (deterministic under task retry, unlike
+    # round-robin, and skips the sort-before-repartition pass). On a real
+    # cluster a 100 TB table scans as thousands of splits and this branch
+    # never fires.
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, F.col(df.columns[0]))
+    return df
 
 
 def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
@@ -131,8 +143,11 @@ def q_lev_similarity(spark, sf_dir):
                  F.col("c_nationkey").alias("nk"))
     from entity_resolver_spark.functions.similarity import lev_sim_expr
 
+    # nk has ~25 distinct values: a shuffle join would serialize into 25
+    # tasks no matter the cluster size. Broadcasting the build side keeps
+    # the pair expansion partitioned by the PROBE side's splits instead.
     return (
-        a.join(b, "nk")
+        a.join(F.broadcast(b), "nk")
         .where(F.col("ka") < F.col("kb"))
         .select(
             "ka", "kb",
@@ -151,8 +166,9 @@ def q_jaro_winkler(spark, sf_dir):
                  F.col("c_nationkey").alias("nk"))
     from entity_resolver_spark.functions.similarity import jw_expr
 
+    # Same broadcast rationale as q_lev_similarity: 25-key equi-join.
     return (
-        a.join(b, "nk")
+        a.join(F.broadcast(b), "nk")
         .where(F.col("ka") < F.col("kb"))
         .select("ka", "kb", F.round(jw_expr(F.col("na"), F.col("nb")), 4).alias("jw"))
     )
