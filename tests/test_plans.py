@@ -1,0 +1,80 @@
+"""Physical-plan regression tests for the driver-contract queries.
+
+These pin the plan SHAPES the round-4 perf work established, so a code
+change that silently degrades them fails here instead of only showing up
+as a bench regression:
+
+  * the 25-key similarity pair joins must stay broadcast joins (a shuffle
+    join on nationkey serializes into 25 tasks no matter the cluster);
+  * no driver query may plan an unbounded CartesianProduct (broadcast
+    nested-loop is allowed — the ANN brute-force is broadcast-bounded by
+    contract);
+  * `_read` must spread a single-split scan across the session's cores
+    (the test tables are single-row-group parquet files; without the
+    spread, all pre-shuffle work runs on one core).
+
+Plans are inspected unexecuted (explain only), so the whole module is
+cheap at sf0.001.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="extended")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_pair_joins_are_broadcast(spark, entry):
+    qs = entry.queries()
+    for name in ("lev_similarity", "jaro_winkler"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, f"{name}: pair join lost its broadcast"
+        assert "SortMergeJoin" not in plan, f"{name}: 25-key join fell back to SMJ"
+
+
+def test_no_query_plans_a_cartesian_product(spark, entry):
+    # BroadcastNestedLoopJoin is acceptable (ANN brute-force is broadcast-
+    # bounded by contract); a plain CartesianProduct never is.
+    for name, fn in entry.queries().items():
+        if name == "resolve_entities":
+            continue  # flagship executes eagerly inside fit; covered E2E
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"{name}: unbounded cartesian join"
+
+
+def test_read_spreads_single_split_scans(spark, entry):
+    par = spark.sparkContext.defaultParallelism
+    df = entry._read(spark, SF_DIR, "documents")
+    assert df.rdd.getNumPartitions() >= min(par, 4), (
+        "single-row-group scan not spread across cores"
+    )
+    # and the spread is an exchange on the leading key column, not a
+    # round-robin (retry-deterministic, no sort-before-repartition pass)
+    plan = _plan(df)
+    assert "RoundRobinPartitioning" not in plan
+
+
+def test_scan_prunes_columns(spark, entry):
+    # token_stats reads only (doc_id, text) — the scan must not drag the
+    # full documents schema through the exchange.
+    df = entry.queries()["token_stats"](spark, SF_DIR)
+    plan = _plan(df)
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "lang" not in scan, f"column pruning lost: {scan}"
