@@ -306,14 +306,35 @@ def corpus_distributed(
     topic_words = F.element_at(topics, (F.pmod(F.col("fam"), F.lit(len(_TOPICS))) + 1).cast("int"))
     n_words = F.lit(6) + F.pmod(h("fam", "turn_idx", F.lit("nw")), F.lit(12))
 
+    # Real corpora grow their VOCABULARY as they grow (new names, ids,
+    # product words), so a token's document frequency is roughly
+    # scale-invariant. A fixed vocabulary instead makes every
+    # mid-frequency token's df double when the corpus doubles — a
+    # pathology no real growing corpus has (it made the centroid-merge
+    # pass superlinear on early ladder runs). The `kw<i>` pool scales
+    # with n_families to keep the df distribution constant across
+    # ladder points: ~25% of words, pool of n_families/20 types
+    # -> df ~ 60*members occurrences per type at every corpus size.
+    kw_pool = max(50, n_families // 20)
+
     def base_word(s):
         hw = h(F.col("fam"), F.col("turn_idx"), s, F.lit("tw"))
-        pick_topic = F.pmod(hw, F.lit(100)) < 45
-        return F.when(
-            pick_topic,
-            F.element_at(topic_words, (F.pmod(hw, F.lit(len(_TOPICS[0].split()))) + 1).cast("int")),
-        ).otherwise(
-            F.element_at(filler, (F.pmod(hw, F.lit(len(_FILLER))) + 1).cast("int"))
+        sel = F.pmod(hw, F.lit(100))
+        return (
+            F.when(
+                sel < 45,
+                F.element_at(
+                    topic_words,
+                    (F.pmod(hw, F.lit(len(_TOPICS[0].split()))) + 1).cast("int"),
+                ),
+            )
+            .when(
+                sel < 70,
+                F.format_string("kw%d", F.pmod(hw, F.lit(kw_pool))),
+            )
+            .otherwise(
+                F.element_at(filler, (F.pmod(hw, F.lit(len(_FILLER))) + 1).cast("int"))
+            )
         )
 
     def member_word(s):

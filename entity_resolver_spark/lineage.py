@@ -90,3 +90,26 @@ def eager_cut(df: DataFrame) -> DataFrame:
         return ck
     _REBUILD_AVAILABLE = True
     return rebuilt
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Best-effort unpersist of a frame's localCheckpoint blocks.
+
+    localCheckpoint pins its partitions at MEMORY_AND_DISK and the
+    ContextCleaner only reclaims them when the JVM-side RDD becomes
+    unreachable — which, with py4j holding references through superseded
+    DataFrames, is effectively never inside one long resolve. A chain of
+    k record-sized passes therefore holds k generations of storage, and
+    once that exceeds the storage pool every later stage pays
+    eviction/GC (measured: the LAST pipeline stage ran 5.9x slower at
+    2x corpus on a 16g heap). Callers may release ONLY generations no
+    live plan can read again — localCheckpoint truncates lineage, so a
+    wrongly released generation is unrecoverable, not merely slow.
+
+    No-op under Spark Connect / API drift (same guard philosophy as
+    eager_cut's rebuild).
+    """
+    try:
+        df._jdf.queryExecution().toRdd().unpersist(False)
+    except Exception:
+        pass

@@ -125,6 +125,17 @@ def _canonical_one_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"cluster": [cluster], "canonical_text": [uniques[order[0]]]})
 
 
+def _canonical_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One Arrow batch = one hash bucket of MANY clusters; the per-cluster
+    kernel runs in a local loop so its Python invocation overhead is paid
+    once per bucket, not once per cluster."""
+    outs = [
+        _canonical_one_group(g)
+        for _, g in pdf.groupby("cluster", sort=True)
+    ]
+    return pd.concat(outs, ignore_index=True)
+
+
 def canonical_by_frequency(records: DataFrame, cluster_col: str = "cluster") -> DataFrame:
     """Pure-SQL canonical pick: most frequent norm_text per cluster,
     ties to longest then lexicographically smallest (deterministic)."""
@@ -156,13 +167,20 @@ def canonical_by_centrality(records: DataFrame, cluster_col: str = "cluster") ->
     hard_src = (
         records.join(hard_ids, cluster_col)
         .select(F.col(cluster_col).alias("cluster"), "norm_text")
-        # spread groups across the full parallelism: AQE would coalesce
-        # this tiny shuffle into one partition and serialize the Arrow
-        # grouped-map kernel
-        .repartition(n_parts, "cluster")
+        # BUCKET clusters instead of grouping by cluster directly:
+        # applyInPandas invokes the Python function once PER GROUP, and
+        # a corpus of many small families (the linear-growth shape) pays
+        # ~2 ms of per-call overhead per cluster — measured 37 s for 20k
+        # 4-member clusters. Hashing clusters into n_parts*8 buckets and
+        # looping inside the Arrow batch amortizes that overhead across
+        # hundreds of clusters per call; per-cluster results are
+        # byte-identical. The bucket count also spreads the shuffle
+        # across the full parallelism (AQE would coalesce the tiny
+        # exchange into one partition and serialize the kernel).
+        .withColumn("__b", F.pmod(F.xxhash64("cluster"), F.lit(n_parts * 8)))
     )
-    hard = hard_src.groupBy("cluster").applyInPandas(
-        _canonical_one_group, schema="cluster string, canonical_text string"
+    hard = hard_src.groupBy("__b").applyInPandas(
+        _canonical_bucket, schema="cluster string, canonical_text string"
     ).withColumnRenamed("cluster", cluster_col)
     return easy.unionByName(hard)
 

@@ -58,7 +58,22 @@ MAP_BROADCAST_CAP = 2_000_000     # slim id->id / id->label maps
 # carries no discrimination — it is a degenerate corpus-wide slot or a
 # generic shared opening — and only creates a quadratic hot key in the
 # candidate join (the same argument as blocking.py's stop_key_fraction).
-SLOT_KEY_CAP = 2_000
+#
+# The slot cap must be a SMALL constant, because it bounds the merge
+# pass's admitted work: candidates <= sum over kept keys of C(k,2)
+# <= (cap/2) * top_slots * n_clusters — linear in clusters only if cap
+# is O(1). The old value (2,000) admitted ~2M pairs per near-cap key,
+# and on a linear-ladder corpus (families grow, vocabulary fixed) the
+# number of near-cap keys grows with the corpus: measured merge_vector
+# x10.2 for x2 clusters at 20k->40k families. At 256 the pass returned
+# to ~linear with identical merges — truly near-parallel centroids
+# share family-sized rare slots, not corpus-generic ones, and pairs
+# whose only shared slots are generic fail the exact-cosine
+# verification anyway. 64 retains every family-sized key (the split
+# fragments a merge must reunite share their family anchor slots,
+# df ~ 2-5 clusters) while holding worst-case candidates to
+# 32 * top_slots * n_clusters.
+SLOT_KEY_CAP = 64
 STRING_KEY_CAP = 500
 # rare-canonical-token keys must be RARE (block-family-sized, like
 # blocking.py's rare_max_df): a df cap at STRING_KEY_CAP would admit

@@ -43,7 +43,7 @@ from entity_resolver_spark.operators.validate import (
     split_on_metadata,
 )
 from entity_resolver_spark.operators.vectorize import add_tfidf_vectors, token_df
-from entity_resolver_spark.lineage import eager_cut
+from entity_resolver_spark.lineage import eager_cut, release_checkpoint
 
 
 class EntityResolverPipeline:
@@ -174,6 +174,40 @@ class EntityResolverPipeline:
         )
 
         def _clustered() -> DataFrame:
+            # per-pass wall timing: each pass ends in an eager_cut
+            # materialization, so segment walls are real execution time.
+            # Recorded as clustered.<pass> rows so scale regressions
+            # point at the pass, not just the stage (the 80k-family
+            # linear-ladder run showed the stage superlinear with no
+            # way to see which pass).
+            import time as _time
+
+            _t = [_time.time()]
+
+            _prev = [None]
+
+            def _mark(name: str, cur: DataFrame | None = None) -> None:
+                now = _time.time()
+                ckpt.metrics.append(
+                    {
+                        "stage": f"clustered.{name}",
+                        "rows": -1,
+                        "seconds": round(now - _t[0], 3),
+                        "resumed": False,
+                    }
+                )
+                _t[0] = now
+                # the out-chain is strictly linear and `cur` is already
+                # materialized, so the superseded generation's
+                # localCheckpoint blocks can be freed — without this the
+                # chain holds one records-sized generation per pass and
+                # late stages pay storage eviction (lineage.py
+                # release_checkpoint docstring has the measurements)
+                if cur is not None:
+                    if _prev[0] is not None and _prev[0] is not cur:
+                        release_checkpoint(_prev[0])
+                    _prev[0] = cur
+
             # refinement passes need the vectors; reference order
             # (resolver.py:438-466): evict/reassign, then merge passes,
             # then splits and identical-key consolidation. Every pass
@@ -185,6 +219,7 @@ class EntityResolverPipeline:
             out = attach_labels(
                 vectorized.drop("vec_blob"), labels
             ).transform(eager_cut)
+            _mark("attach_labels", out)
             # G4/G8: break single-edge bridges inside large components
             # BEFORE the refinement passes (reference order — Louvain/
             # ensemble run as part of clustering, resolver.py:432-436,
@@ -202,6 +237,7 @@ class EntityResolverPipeline:
                     min_community=cfg.clustering.bridge_min_community,
                     density_floor=cfg.clustering.bridge_density_floor,
                 ).transform(eager_cut)
+                _mark("break_bridges", out)
             ref = cfg.refinement
             # G9 vector merge runs FIRST among the refinement passes,
             # immediately after bridge-breaking: LPA (deliberately) may
@@ -220,6 +256,7 @@ class EntityResolverPipeline:
                 out = merge_clusters_vector(
                     out, centroid_cosine_floor=ref.merge_centroid_cosine_floor
                 ).transform(eager_cut)
+                _mark("merge_vector", out)
             if ref.evict_outliers:
                 out = evict_outliers(
                     out,
@@ -229,6 +266,7 @@ class EntityResolverPipeline:
                     margin_floor=ref.evict_margin_floor,
                     very_poor_floor=ref.evict_very_poor_floor,
                 ).drop("evicted").transform(eager_cut)
+                _mark("evict_outliers", out)
             if ref.reassign_singletons:
                 out = reassign_singletons(
                     out,
@@ -241,6 +279,7 @@ class EntityResolverPipeline:
                     min_viable=ref.assign_min_viable,
                     score_margin=ref.assign_score_margin,
                 ).transform(eager_cut)
+                _mark("reassign_singletons", out)
             if ref.merge_string:
                 out = merge_clusters_string(
                     out, jw_floor=ref.merge_jw_floor, lev_floor=ref.merge_lev_floor
@@ -253,6 +292,7 @@ class EntityResolverPipeline:
             # ~25s of pure recompute in the clustered stage at 129k
             # turns with the metadata splits on)
             out = out.drop("vec_idx", "vec_val").transform(eager_cut)
+            _mark("merge_string", out)
             out = split_on_metadata(
                 out,
                 tool_conflict=cfg.validation.split_on_tool_conflict,
@@ -260,6 +300,7 @@ class EntityResolverPipeline:
             )
             if cfg.validation.enforce_unique_entity:
                 out = consolidate_identical(out)
+            _mark("splits_consolidate")
             return out
 
         clustered = ckpt.stage("clustered", _clustered)

@@ -82,13 +82,18 @@ def test_determinism_two_runs(spark, corpus, resolved):
 
 def test_stage_metrics_recorded(resolved):
     _, pipe = resolved
-    stages = [m["stage"] for m in pipe.metrics]
+    stages = [m["stage"] for m in pipe.metrics if "." not in m["stage"]]
     assert stages == [
         "collapse", "normalize", "token_stats", "pairs", "vectorize",
         "pair_scores", "edges", "components", "clustered", "canonical",
         "resolved",
     ]
-    assert all(m["rows"] >= 0 for m in pipe.metrics)
+    assert all(m["rows"] >= 0 for m in pipe.metrics if "." not in m["stage"])
+    # clustered sub-pass walls are recorded (rows deliberately -1: no
+    # extra count job per pass)
+    subs = [m["stage"] for m in pipe.metrics if m["stage"].startswith("clustered.")]
+    assert "clustered.attach_labels" in subs
+    assert "clustered.splits_consolidate" in subs
 
 
 # ---------------------------------------------------------------------------
