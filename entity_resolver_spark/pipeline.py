@@ -312,6 +312,22 @@ class EntityResolverPipeline:
         )
 
         def _final() -> DataFrame:
+            import time as _time
+
+            _t = [_time.time()]
+
+            def _mark(name: str) -> None:
+                now = _time.time()
+                ckpt.metrics.append(
+                    {
+                        "stage": f"resolved.{name}",
+                        "rows": -1,
+                        "seconds": round(now - _t[0], 3),
+                        "resumed": False,
+                    }
+                )
+                _t[0] = now
+
             with_canon = apply_canonical_map(clustered, canon)
             if cfg.validation.enforce_unique_entity:
                 # Q2 repair + gate (reference resolver.py:475): two
@@ -323,6 +339,7 @@ class EntityResolverPipeline:
             # the canonical-map + FD-repair joins over the fat rows
             # (measured 85s of re-compute at 96k conversations)
             with_canon = with_canon.transform(eager_cut)
+            _mark("canonical_map_fd")
             if cfg.refinement.enrich_metadata:
                 with_canon = enrich_metadata(with_canon)
             else:
@@ -339,6 +356,9 @@ class EntityResolverPipeline:
             )
             stats = cluster_edge_stats(edges, final_labels)
             out = score_confidence(with_canon, stats, cfg.confidence)
+            # (no further _mark: enrichment+confidence execute when the
+            # stage materializes — their wall is the resolved total
+            # minus resolved.canonical_map_fd)
             return out.select(
                 "conv_id", "cluster", "norm_text", "canonical_text", "n_turns",
                 "roles", "tools", "ts_min", "ts_max", "cluster_size",
