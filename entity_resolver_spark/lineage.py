@@ -108,8 +108,28 @@ def release_checkpoint(df: DataFrame) -> None:
 
     No-op under Spark Connect / API drift (same guard philosophy as
     eager_cut's rebuild).
+
+    `queryExecution().toRdd()` returns a fresh wrapper RDD over the
+    LogicalRDD scan — NOT the persisted checkpoint RDD — so unpersisting
+    it directly frees nothing (the regression test caught exactly that).
+    The persisted RDD sits a few narrow dependencies below the wrapper;
+    walk down and unpersist every RDD that actually holds storage.
     """
     try:
-        df._jdf.queryExecution().toRdd().unpersist(False)
+        _walk_unpersist(df._jdf.queryExecution().toRdd(), 0)
     except Exception:
         pass
+
+
+def _walk_unpersist(jrdd, depth: int) -> None:
+    if depth > 8:
+        return
+    try:
+        if jrdd.getStorageLevel().isValid():
+            jrdd.unpersist(False)
+            return
+        it = jrdd.dependencies().iterator()
+        while it.hasNext():
+            _walk_unpersist(it.next().rdd(), depth + 1)
+    except Exception:
+        return

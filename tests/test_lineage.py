@@ -117,3 +117,39 @@ def test_eager_cut_probe_recovers(spark, monkeypatch):
     out = eager_cut(df)
     assert out.count() == 3
     assert lineage._REBUILD_AVAILABLE is True
+
+
+def _persisted_rdd_ids(spark) -> set[int]:
+    return {
+        info.id()
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+
+
+def test_release_checkpoint_frees_blocks_and_successor_survives(spark):
+    """release_checkpoint must actually free the superseded generation's
+    storage (the pipeline relies on this to keep live storage O(1)
+    generations, not O(passes)) AND must never affect a successor that
+    was materialized from it — localCheckpoint blocks are unrecoverable,
+    so a successor failure here would mean the release pattern is unsafe,
+    not merely slow."""
+    import time as _t
+
+    from entity_resolver_spark.lineage import release_checkpoint
+
+    before = _persisted_rdd_ids(spark)
+    gen1 = eager_cut(spark.range(200_000).select(F.col("id"), (F.col("id") % 97).alias("v")))
+    gen1_ids = _persisted_rdd_ids(spark) - before
+    assert gen1_ids, "eager_cut did not persist any blocks"
+    # successor materializes BEFORE the predecessor is released — the
+    # exact contract the pipeline's _mark() follows
+    gen2 = eager_cut(gen1.groupBy("v").count())
+    release_checkpoint(gen1)
+    deadline = _t.time() + 20
+    while _t.time() < deadline and (gen1_ids & _persisted_rdd_ids(spark)):
+        _t.sleep(0.2)  # unpersist(blocking=False) is async
+    assert not (gen1_ids & _persisted_rdd_ids(spark)), (
+        "superseded generation's blocks were not freed"
+    )
+    assert gen2.count() == 97
+    assert gen2.agg(F.sum("count")).collect()[0][0] == 200_000
