@@ -30,19 +30,39 @@ TABLES = [
 ]
 
 
+# cache of chosen spread columns: one cheap agg per (path), not per read
+_SPREAD_COL: dict[str, str] = {}
+
+
+def _spread_column(df: DataFrame, path: str) -> str:
+    """Column with the max approx distinct count — hash-partitioning on
+    it spreads rows evenly. The previous heuristic (leading column)
+    silently re-creates the skew it exists to remove whenever a table
+    leads with a low-cardinality column (role/status/flag)."""
+    if path not in _SPREAD_COL:
+        # xxhash64 first: approx_count_distinct needs a hashable input
+        # and xxhash64 accepts every type the test tables carry
+        row = df.select(
+            *[F.approx_count_distinct(F.xxhash64(c)).alias(c) for c in df.columns]
+        ).first()
+        _SPREAD_COL[path] = max(df.columns, key=lambda c: row[c])
+    return _SPREAD_COL[path]
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     # The test tables are single-row-group parquet files, so the scan
     # yields ONE input partition and every pre-shuffle expression (pair
     # expansion, tokenize/hash, per-row scoring) runs on one core. Spread
     # such scans across the session's cores, hash-partitioned on the
-    # leading key column (deterministic under task retry, unlike
+    # highest-cardinality column (deterministic under task retry, unlike
     # round-robin, and skips the sort-before-repartition pass). On a real
     # cluster a 100 TB table scans as thousands of splits and this branch
     # never fires.
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par, F.col(df.columns[0]))
+        df = df.repartition(par, F.col(_spread_column(df, path)))
     return df
 
 

@@ -38,15 +38,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPEATS = 3
-# BENCH.md §1: measured throughput on this host peaks near 8 busy
+# BENCH.md §1: measured throughput on THIS host peaks near 8 busy
 # threads; beyond that wall time INCREASES while core-busy stays ~96%.
-EFFECTIVE_CORES_CAP = 8
+# The cap is a host property, not an engine property, so it is an env
+# override (SPARK_GRAFT_CORE_CAP) with the probe-derived default — on
+# real hardware raise/remove it rather than silently benchmarking at 8.
+DEFAULT_CORES_CAP = 8
+
+
+def effective_cores(requested: int, cap: int) -> int:
+    return min(requested, cap) if cap > 0 else requested
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    requested = int(os.environ.get("SPARK_GRAFT_CPUS", str(EFFECTIVE_CORES_CAP)))
-    cpus = min(requested, EFFECTIVE_CORES_CAP)
+    cap = int(os.environ.get("SPARK_GRAFT_CORE_CAP", str(DEFAULT_CORES_CAP)))
+    requested = int(os.environ.get("SPARK_GRAFT_CPUS", str(DEFAULT_CORES_CAP)))
+    cpus = effective_cores(requested, cap)
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from entity_resolver_spark.session import get_spark, warm_up
@@ -109,8 +117,11 @@ def main() -> None:
     # round-over-round comparability of the record).
     from entity_resolver_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
 
+    # read through entry._read so these two queries share the same scan
+    # discipline as every other bench query (single-row-group test
+    # parquet yields ONE scan partition otherwise — the §9.7 pathology)
     def _docs(spark, d):
-        return spark.read.parquet(f"{d}/documents.parquet")
+        return entry._read(spark, d, "documents")
 
     qs["minhash_dedup"] = lambda s, d: minhash_lsh_pairs(_docs(s, d), jaccard_floor=0.5)
     qs["simhash_dedup"] = lambda s, d: simhash_pairs(_docs(s, d), max_hamming=6)
@@ -136,6 +147,7 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "requested_cpus": requested,
+        "core_cap": cap,
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / timings["resolve_pipeline"], 1),
     }

@@ -185,6 +185,13 @@ class RefinementConfig(BaseModel):
     merge_string: bool = True
     merge_jw_floor: float = 0.93
     merge_lev_floor: float = 0.85
+    # length-ratio admission (dedicated constant — the truncate
+    # perturbation floor, NOT merge_lev_floor) and the centroid-cosine
+    # co-gate (None disables; deliberately low — a sanity gate for
+    # divergence outside the head/mid/tail windows, not a second
+    # vector-merge pass). See refine.merge_clusters_string.
+    merge_len_ratio_floor: float = 0.70
+    merge_cosine_co_floor: float | None = 0.50
 
     # G15 analog: fill empty tools sets from the cluster-majority record
     enrich_metadata: bool = True

@@ -46,6 +46,19 @@ _TOPICS = [
     "tax filing deduction bracket withholding estimate penalty extension",
     "garden irrigation compost seedling pruning fertilizer mulch trellis",
 ]
+# corpus_distributed's codegen word selector indexes every topic's word
+# array modulo len(_TOPICS[0].split()); a topic with FEWER words than
+# the first would send element_at out of range (NULL words, or an error
+# under ANSI mode). Topics with MORE words are safe (their surplus is
+# simply never selected — topic 8 has 9 words today and the generated
+# bytes must stay identical across rounds for ladder comparability, so
+# the modulus stays pinned to topic 0). Enforce at module load so an
+# edited topic fails loudly, not in a 9M-turn run.
+assert min(len(t.split()) for t in _TOPICS) >= len(_TOPICS[0].split()), (
+    "every _TOPICS entry needs at least as many words as _TOPICS[0] "
+    "(corpus_distributed indexes modulo the first topic's word count)"
+)
+
 _FILLER = (
     "please can you help me with the issue i am seeing when trying to "
     "get this working thanks for the detail let me check that now okay "
@@ -246,6 +259,8 @@ def corpus_distributed(
     members: int = 8,
     seed: int = 42,
     partitions: int | None = None,
+    viral_families: int = 0,
+    viral_members: int = 0,
 ):
     """Transcript corpus generated ON THE EXECUTORS with nothing but
     codegen expressions — no driver-side Python rows, so it scales to
@@ -269,6 +284,15 @@ def corpus_distributed(
     Python corpus' 80%-keep truncate — the loss of the final turn.
     Stacking both was measured to unlink the member (P=1.0, R=0.97 at
     100 families); exclusive kinds resolve at F1=1.0.
+
+    `viral_families`/`viral_members`: the first `viral_families`
+    families get `viral_members` members each instead of `members` —
+    the viral-template shape of a real 100 TB transcript corpus (one
+    shared template perturbed 10^5-10^6 times producing a single giant
+    near-duplicate component). Generation stays byte-deterministic:
+    every value derives from (fam, m, turn_idx) hashes, and the
+    member explode is re-spread across partitions so one 10^5-member
+    family does not serialize generation onto one task.
     """
     from pyspark.sql import functions as F
 
@@ -284,8 +308,15 @@ def corpus_distributed(
     fam = spark.range(0, n_families, 1, parts).withColumnRenamed("id", "fam")
     fam = fam.withColumn("n_turns", (F.lit(4) + F.pmod(h("fam", F.lit("nt")), F.lit(8))).cast("int"))
 
+    if viral_families > 0 and viral_members > 0:
+        n_members = F.when(
+            F.col("fam") < viral_families, F.lit(viral_members)
+        ).otherwise(F.lit(members))
+    else:
+        n_members = F.lit(members)
+
     df = (
-        fam.select("fam", "n_turns", F.explode(F.sequence(F.lit(0), F.lit(members - 1))).alias("m"))
+        fam.select("fam", "n_turns", F.explode(F.sequence(F.lit(0), n_members - 1)).alias("m"))
         .withColumn(
             "truncated",
             (F.col("m") > 0)
@@ -302,6 +333,12 @@ def corpus_distributed(
             ).alias("turn_idx"),
         )
     )
+    if viral_families > 0 and viral_members > 0:
+        # one viral family's members would otherwise all be generated by
+        # the task holding its fam row — spread by (fam, m) so the giant
+        # family's generation parallelizes (values are coordinate-hashed,
+        # so the corpus stays byte-identical under any partitioning)
+        df = df.repartition(parts, "fam", "m")
 
     topic_words = F.element_at(topics, (F.pmod(F.col("fam"), F.lit(len(_TOPICS))) + 1).cast("int"))
     n_words = F.lit(6) + F.pmod(h("fam", "turn_idx", F.lit("nw")), F.lit(12))

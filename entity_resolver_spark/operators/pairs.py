@@ -81,6 +81,18 @@ def score_pairs(
         ).alias("txt_tail"),
         "vec_blob",
     )
+
+    # Each kernel's tail must be the LAST win chars of the doc — the
+    # kernels internally read the FIRST win chars of their input, so
+    # handing both the shared cap-length tail would make the smaller
+    # window score chars [L-cap, L-cap+win) instead of [L-win, L):
+    # templated endings just inside the true tail could then fake
+    # similarity. Re-slice per kernel post-join (pure codegen on
+    # already-joined rows; no extra join payload).
+    def _tail_of(col: "F.Column", win: int) -> "F.Column":
+        return F.substring(
+            col, F.greatest(F.length(col) - F.lit(win - 1), F.lit(1)), F.lit(win)
+        )
     if broadcast_records:
         attrs = F.broadcast(attrs)
     aa = attrs.select(
@@ -113,14 +125,22 @@ def score_pairs(
             "lev_sim",
             F.least(
                 lev_sim_expr(F.col("txt_a"), F.col("txt_b"), lev_win),
-                lev_sim_expr(F.col("tail_a"), F.col("tail_b"), lev_win),
+                lev_sim_expr(
+                    _tail_of(F.col("tail_a"), lev_win),
+                    _tail_of(F.col("tail_b"), lev_win),
+                    lev_win,
+                ),
             ),
         )
         .withColumn(
             "jw_sim",
             F.least(
                 jw_expr(F.col("txt_a"), F.col("txt_b"), jw_win),
-                jw_expr(F.col("tail_a"), F.col("tail_b"), jw_win),
+                jw_expr(
+                    _tail_of(F.col("tail_a"), jw_win),
+                    _tail_of(F.col("tail_b"), jw_win),
+                    jw_win,
+                ),
             ),
         )
         .withColumn(

@@ -80,10 +80,26 @@ STRING_KEY_CAP = 500
 # mid-frequency words covering hundreds of clusters and make the
 # string-merge candidate set quadratic in them
 STRING_RARE_MAX_DF = 20
-# jw/lev on merge candidates run on canonical-text PREFIXES: transcript
+# jw/lev on merge candidates run on canonical-text WINDOWS: transcript
 # canonicals are multi-KB and the lev DP is O(len^2) per pair — the
 # same rationale (and a similar cap) as ScoringConfig.lev_prefix_chars
 STRING_SIM_PREFIX = 256
+# length-ratio admission gate for string-merge candidates. Dedicated
+# constant, NOT lev_floor: the old gate reused lev_floor (0.85) as a
+# necessary condition for FULL-string Levenshtein, but acceptance is
+# window-based — so a truncated-canonical fragment (the `truncate`
+# perturbation keeps ~80% of turns -> canonical length ratio ~0.8) was
+# silently refused even when every aligned window matched. 0.70 admits
+# the truncate floor with typo-noise slack; anything shorter than 70%
+# of its partner is a different document, not a fragment.
+STRING_MERGE_LEN_RATIO = 0.70
+# canonical text carried through the candidate join is capped: the
+# aligned windows below need the text at pair-dependent offsets (up to
+# min(len_a, len_b)), and shipping whole multi-KB canonicals through
+# the key join would dominate the pass at 10^7 clusters. Offsets are
+# clamped to the cap, so two docs identical up to the cap compare as
+# prefix-identical — the same semantics every capped kernel here has.
+MERGE_TEXT_CAP = 6 * STRING_SIM_PREFIX
 
 
 def _maybe_broadcast(df: DataFrame, n_rows: int, cap: int) -> DataFrame:
@@ -209,6 +225,8 @@ def merge_clusters_string(
     cluster_col: str = "cluster",
     jw_floor: float = 0.93,
     lev_floor: float = 0.85,
+    len_ratio_floor: float = STRING_MERGE_LEN_RATIO,
+    cosine_co_floor: float | None = 0.50,
 ) -> DataFrame:
     """Merge clusters whose canonical texts are near-identical under
     BOTH Jaro-Winkler and normalized Levenshtein (the reference ANDs
@@ -226,18 +244,31 @@ def merge_clusters_string(
         prefix channel loses no family-sized recall (same discipline
         as blocking.py's C3).
 
-    Verification must NOT run on a head prefix alone: transcript
-    corpora routinely share >=256-char templated openings, and two
-    distinct clusters with the same generic opening would score
-    jw=lev=1.0 on prefixes and merge unconditionally. So a candidate
-    pair merges only if ALL of:
-      * head window (first STRING_SIM_PREFIX chars) passes both
-        jw/lev floors;
-      * tail window (last STRING_SIM_PREFIX chars) passes both
-        floors — shared boilerplate openings don't fake this;
-      * full-length ratio min(len)/max(len) >= lev_floor — a true
-        NECESSARY condition for full-string normalized Levenshtein
-        (lev >= |la-lb|, so sim <= min/max), costing one comparison.
+    Verification (a candidate pair merges iff):
+      * FAST PATH — xxhash64 of the two FULL canonical texts is equal:
+        identical documents merge with zero kernel work (and identical
+        docs longer than any window can never be refused by window
+        noise); otherwise ALL of
+      * length ratio min(len)/max(len) >= len_ratio_floor — dedicated
+        admission constant (see STRING_MERGE_LEN_RATIO: lev_floor here
+        silently refused truncated-canonical fragments);
+      * THREE windows of STRING_SIM_PREFIX chars — head, middle, tail —
+        each pass both jw/lev floors. Window offsets are ALIGNED TO THE
+        SHORTER doc (head at 0, middle at min_len/2, tail ending at
+        min_len), evaluated at the same offsets on both docs: a pure
+        truncation fragment matches all three (its partner's text at
+        those offsets is identical), while same-head-same-tail docs
+        that diverge in the middle — shared intro AND shared signature
+        boilerplate — fail the middle window. Head/tail-only windows
+        provably merged that shape (the round-4 hole);
+      * cosine co-gate (when the records carry vec_idx/vec_val and
+        cosine_co_floor is not None): exact sparse centroid cosine of
+        the two clusters >= cosine_co_floor. The floor is deliberately
+        LOW (0.5 default vs merge_vector's 0.8) — it is a sanity gate
+        against long docs whose divergence falls outside all three
+        windows, not a second vector-merge pass; centroids are built
+        only for clusters that actually reached this stage (semi-join),
+        and the verified pairs are cluster-count-sized.
     Windows (not full strings) keep the DP bounded: canonicals are
     multi-KB and lev is O(len^2) per pair — the cost argument of
     ScoringConfig.lev_prefix_chars."""
@@ -273,40 +304,97 @@ def merge_clusters_string(
     ).join(
         canon.select(
             cluster_col,
-            F.substring("canonical_text", 1, win).alias("__head"),
-            F.expr(
-                f"substring(canonical_text, "
-                f"greatest(length(canonical_text) - {win - 1}, 1), {win})"
-            ).alias("__tail"),
+            F.substring("canonical_text", 1, MERGE_TEXT_CAP).alias("__txt"),
             F.length("canonical_text").alias("__len"),
+            F.xxhash64("canonical_text").alias("__fh"),
         ),
         cluster_col,
     )
     a = keyed.select(
         F.col("k"), F.col(cluster_col).alias("ca"),
-        F.col("__head").alias("ha"), F.col("__tail").alias("za"), F.col("__len").alias("la"),
+        F.col("__txt").alias("ta"), F.col("__len").alias("la"), F.col("__fh").alias("fa"),
     )
     b = keyed.select(
         F.col("k"), F.col(cluster_col).alias("cb"),
-        F.col("__head").alias("hb"), F.col("__tail").alias("zb"), F.col("__len").alias("lb"),
+        F.col("__txt").alias("tb"), F.col("__len").alias("lb"), F.col("__fh").alias("fb"),
     )
-    cand = (
+    # two consumers read pairs0 (the fast path and the window chain) —
+    # materialize once or the key join + dedup executes per branch
+    pairs0, _ = _materialize(
         a.join(b, "k")
         .where(F.col("ca") < F.col("cb"))
         .dropDuplicates(["ca", "cb"])  # a pair can arrive via several keys
-        # necessary length condition first — pure codegen, prunes pairs
-        # before any string kernel runs
+    )
+    # fast path: identical full canonical text (hash equality; xxhash64
+    # collisions at cluster counts are ~n^2/2^64 — negligible)
+    fast = pairs0.where(F.col("fa") == F.col("fb")).select("ca", "cb")
+
+    # aligned window offsets (1-based), clamped to the carried text cap
+    lm = F.least(F.col("la"), F.col("lb"), F.lit(MERGE_TEXT_CAP))
+    mid_pos = F.greatest((lm / 2 - win // 2).cast("int"), F.lit(1))
+    tail_pos = F.greatest((lm - (win - 1)).cast("int"), F.lit(1))
+
+    def _passes(pos) -> "F.Column":
+        wa = F.substring(F.col("ta"), pos, F.lit(win))
+        wb = F.substring(F.col("tb"), pos, F.lit(win))
+        return (jw_expr(wa, wb) >= jw_floor) & (lev_sim_expr(wa, wb) >= lev_floor)
+
+    rest = (
+        pairs0.where(F.col("fa") != F.col("fb"))
+        # admission gates first — pure codegen, prune before any kernel
         .where(
             F.least(F.col("la"), F.col("lb"))
-            >= lev_floor * F.greatest(F.col("la"), F.col("lb"))
+            >= len_ratio_floor * F.greatest(F.col("la"), F.col("lb"))
         )
-        .withColumn("jw", jw_expr(F.col("ha"), F.col("hb")))
-        .withColumn("lev", lev_sim_expr(F.col("ha"), F.col("hb")))
-        .where((F.col("jw") >= jw_floor) & (F.col("lev") >= lev_floor))
-        .withColumn("jw_t", jw_expr(F.col("za"), F.col("zb")))
-        .withColumn("lev_t", lev_sim_expr(F.col("za"), F.col("zb")))
-        .where((F.col("jw_t") >= jw_floor) & (F.col("lev_t") >= lev_floor))
-        .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        .where(_passes(F.lit(1)))
+        .where(_passes(mid_pos))
+        .where(_passes(tail_pos))
+        .select("ca", "cb")
+    )
+
+    if cosine_co_floor is not None and "vec_idx" in records.columns:
+        # centroid cosine co-gate: built ONLY for clusters that survived
+        # the string gates (semi-join keeps the profile pass bounded by
+        # the candidate set, not the cluster count)
+        rest, n_rest = _materialize(rest)
+        if n_rest > 0:
+            cc = (
+                rest.select(F.col("ca").alias(cluster_col))
+                .unionByName(rest.select(F.col("cb").alias(cluster_col)))
+                .distinct()
+            )
+            prof, n_prof = _materialize(
+                cluster_profiles(
+                    records.join(cc, cluster_col, "left_semi"), cluster_col
+                ).select(cluster_col, "c_idx", "c_val")
+            )
+            pa = _maybe_broadcast(
+                prof.select(
+                    F.col(cluster_col).alias("ca"),
+                    F.col("c_idx").alias("ia"), F.col("c_val").alias("va"),
+                ),
+                n_prof, PROFILE_BROADCAST_CAP,
+            )
+            pb = _maybe_broadcast(
+                prof.select(
+                    F.col(cluster_col).alias("cb"),
+                    F.col("c_idx").alias("ib"), F.col("c_val").alias("vb"),
+                ),
+                n_prof, PROFILE_BROADCAST_CAP,
+            )
+            rest = (
+                rest.join(pa, "ca")
+                .join(pb, "cb")
+                .withColumn(
+                    "__cos",
+                    sparse_cosine_udf(F.col("ia"), F.col("va"), F.col("ib"), F.col("vb")),
+                )
+                .where(F.col("__cos") >= cosine_co_floor)
+                .select("ca", "cb")
+            )
+
+    cand = fast.unionByName(rest).select(
+        F.col("ca").alias("src"), F.col("cb").alias("dst")
     )
     return _apply_merge(records, cand, cluster_col)
 

@@ -15,6 +15,27 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
+def content_hash(df: DataFrame, float_dp: int = 3) -> str:
+    """Orderless content fingerprint of a DataFrame: bit_xor of
+    xxhash64 over every row (same construction as the pipeline's run
+    fingerprint, pipeline.py) — partitioning- and row-order-independent,
+    so two byte-identical results hash equal on any cluster layout.
+    Float columns are rounded to `float_dp` decimals first: the values
+    are deterministic per run (proven by the determinism test), but a
+    pinned GOLDEN hash should not hinge on the last bits of a
+    shuffle-order-sensitive double sum. Returns 'n_rows:xor_hash'."""
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if f.dataType.typeName() in ("double", "float"):
+            c = F.round(c, float_dp)
+        cols.append(c)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64(*cols)).alias("x")
+    ).first()
+    return f"{row['n']}:{row['x']}"
+
+
 def summary_report(resolved: DataFrame) -> dict:
     """One pass of aggregations -> the reference's report dict
     (reporter.py:87-148, including the describe()-style distributional

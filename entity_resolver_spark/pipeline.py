@@ -282,7 +282,11 @@ class EntityResolverPipeline:
                 _mark("reassign_singletons", out)
             if ref.merge_string:
                 out = merge_clusters_string(
-                    out, jw_floor=ref.merge_jw_floor, lev_floor=ref.merge_lev_floor
+                    out,
+                    jw_floor=ref.merge_jw_floor,
+                    lev_floor=ref.merge_lev_floor,
+                    len_ratio_floor=ref.merge_len_ratio_floor,
+                    cosine_co_floor=ref.merge_cosine_co_floor,
                 )
             # vectors are not read past this point — keep them out of
             # the clustered/resolved checkpoints. Materialize before the

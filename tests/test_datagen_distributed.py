@@ -93,3 +93,41 @@ def test_resolves_at_f1_1(spark):
     res = EntityResolverPipeline().resolve(spark, turns)
     prf = pairwise_prf(res)
     assert prf["precision"] == 1.0 and prf["recall"] == 1.0, prf
+
+
+def test_viral_family_shape_and_determinism(spark):
+    """viral_families/viral_members: the first family gets the viral
+    member count, the rest the normal one; generation stays
+    byte-deterministic across partitionings (the viral path adds a
+    repartition that must not change values)."""
+    v = corpus_distributed(
+        spark, n_families=10, members=3, viral_families=1, viral_members=25
+    ).cache()
+    sizes = {
+        r["fam"]: r["n"]
+        for r in v.select(F.split("conv_id", "_").getItem(0).alias("fam"), "conv_id")
+        .distinct()
+        .groupBy("fam")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sizes["f0000000"] == 25
+    assert all(n == 3 for fam, n in sizes.items() if fam != "f0000000")
+
+    digest = "bit_xor(xxhash64(conv_id, turn_idx, role, text, tool, ts))"
+    a = v.agg(F.expr(digest).alias("h")).collect()[0]["h"]
+    b = (
+        corpus_distributed(
+            spark, 10, 3, partitions=5, viral_families=1, viral_members=25
+        )
+        .agg(F.expr(digest).alias("h"))
+        .collect()[0]["h"]
+    )
+    assert a == b
+    # non-viral families are byte-identical to a run WITHOUT the viral
+    # option (the viral member explode must not disturb their hashes)
+    plain = corpus_distributed(spark, 10, 3).where("conv_id not like 'f0000000%'")
+    pa = plain.agg(F.expr(digest).alias("h")).collect()[0]["h"]
+    pb = v.where("conv_id not like 'f0000000%'").agg(F.expr(digest).alias("h")).collect()[0]["h"]
+    assert pa == pb
+    v.unpersist()

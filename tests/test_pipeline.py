@@ -201,3 +201,38 @@ def test_precision_perfect_on_shared_block_negatives(resolved, corpus):
     fp = j.filter("ca = cb").count()
     assert n > 0, "shared-block negatives missing from the labeled pairs"
     assert fp == 0, f"{fp}/{n} co-blocked non-duplicates were clustered together"
+
+
+# ---------------------------------------------------------------------------
+# round-5: golden value checks (VERDICT r4 directive #3). Determinism of
+# the pipeline is proven by test_determinism_two_runs; pinning the content
+# hash turns the flagship's rows-only driver entry into a de-facto value
+# check — a wrong-but-deterministic semantic regression now fails HERE.
+#
+# UPDATE PROCEDURE (deliberate semantic changes only): re-run
+#   python -c "from entity_resolver_spark.session import get_spark; \
+#     s = get_spark(app_name='entity_resolver_tests', cores=8, shuffle_partitions=8); \
+#     import __spark_entry__ as e; \
+#     from entity_resolver_spark.operators.report import content_hash; \
+#     print(content_hash(e.entry(s)))"
+# (and the corpus_spark(n_base=60) equivalent below), review WHY the
+# output changed (the diff of res.collect() against main), then update
+# the constants in the same commit as the semantic change.
+# ---------------------------------------------------------------------------
+
+GOLDEN_FLAGSHIP_SF0001 = "22:-5120476690676114170"
+GOLDEN_CORPUS_60 = "223:-646269032542509084"
+
+
+def test_golden_flagship_content_hash(spark):
+    import __spark_entry__ as entry
+    from entity_resolver_spark.operators.report import content_hash
+
+    assert content_hash(entry.entry(spark)) == GOLDEN_FLAGSHIP_SF0001
+
+
+def test_golden_corpus_content_hash(resolved):
+    from entity_resolver_spark.operators.report import content_hash
+
+    res, _ = resolved
+    assert content_hash(res) == GOLDEN_CORPUS_60

@@ -78,3 +78,45 @@ def test_scan_prunes_columns(spark, entry):
     plan = _plan(df)
     scan = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "lang" not in scan, f"column pruning lost: {scan}"
+
+
+def test_read_spread_picks_high_cardinality_column(spark, entry, tmp_path):
+    """A table whose LEADING column is low-cardinality (role/status
+    shape) must still spread across cores: the spread column is chosen
+    by max approx distinct count, not position (VERDICT r4 wrong #3 —
+    hashing a 2-value column re-creates the skew the spread removes)."""
+    import pyspark.sql.functions as F
+
+    n = 4_000
+    (
+        spark.range(n)
+        .select(
+            (F.col("id") % 2).cast("string").alias("status"),  # leading, 2 values
+            F.col("id").alias("rowkey"),
+            (F.col("id") * 7).alias("payload"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/skewed.parquet")
+    )
+    df = entry._read(spark, str(tmp_path), "skewed")
+    par = spark.sparkContext.defaultParallelism
+    assert df.rdd.getNumPartitions() == par
+    sizes = df.rdd.glom().map(len).collect()
+    nonempty = [s for s in sizes if s > 0]
+    # hash on the 2-value leading column would yield <= 2 non-empty
+    # partitions; the distinct-count choice (rowkey) spreads evenly
+    assert len(nonempty) > 2, f"partition spread degenerate: {sizes}"
+    assert max(sizes) < n, "all rows landed in one partition"
+
+
+def test_bench_effective_cores_env_cap():
+    """bench.py's core cap is an env override, not a hard-coded host
+    property (VERDICT r4 directive #5): requested>cap clamps, raising
+    the cap honors the request, cap<=0 disables clamping."""
+    import bench
+
+    assert bench.effective_cores(32, 8) == 8      # default host cap
+    assert bench.effective_cores(4, 8) == 4       # request below cap
+    assert bench.effective_cores(32, 16) == 16    # raised cap honored
+    assert bench.effective_cores(32, 0) == 32     # cap disabled
