@@ -92,6 +92,7 @@ def main() -> None:
                 "viral_clusters": v_clusters,
                 "viral_members_resolved": v_total,
                 "viral_largest_share": round(v_largest / v_total, 6) if v_total else 0.0,
+                "viral_straggler_sizes": [r["n"] for r in vrows[1:21]],
                 "stages": [
                     (m["stage"], m["rows"], m["seconds"]) for m in pipe.metrics
                 ],
