@@ -165,6 +165,21 @@ class RefinementConfig(BaseModel):
     # 2-of-3 vote extras (reference validator.py:404-469, 815-831)
     evict_margin_floor: float = 0.05      # alt cluster within this of own fit
     evict_very_poor_floor: float = 0.30   # always-evict override
+    # String-evidence veto: all three votes read member->centroid cosine,
+    # which degenerates inside viral-template mega-families (IDF of the
+    # shared template collapses, typo tokens dominate the member vector).
+    # Flagged members whose norm_text is near-identical to the cluster's
+    # frequency-canonical (merge_clusters_string's window discipline,
+    # merge_* floors) stay — the reference's own rescue path scores
+    # STRING channels, config/schema.py:1436-1477. See refine.evict_outliers.
+    # Floors are veto-specific (NOT merge_jw_floor/merge_lev_floor): the
+    # veto compares a MEMBER text to the canonical, and typo insertions
+    # shift alignment so jw is only trustworthy on the head window
+    # (measured family min 0.923 vs mid/tail jw 0.8125 at lev >= 0.943 —
+    # refine._string_evidence_veto docstring).
+    evict_string_veto: bool = True
+    evict_veto_jw_floor: float = 0.90       # head window only
+    evict_veto_lev_floor: float = 0.85      # all three windows
 
     reassign_singletons: bool = True
     assign_floor: float = 0.80

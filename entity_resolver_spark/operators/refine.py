@@ -422,6 +422,92 @@ def _apply_merge(records: DataFrame, merge_edges: DataFrame, cluster_col: str) -
 # G12: outlier eviction
 # ---------------------------------------------------------------------------
 
+def _string_evidence_veto(
+    flagged: DataFrame,
+    records: DataFrame,
+    cluster_col: str,
+    jw_floor: float,
+    lev_floor: float,
+    len_ratio_floor: float,
+) -> DataFrame:
+    """Cancel the eviction of flagged members whose norm_text is
+    near-identical to their cluster's frequency-canonical text (see
+    evict_outliers docstring for why vector votes are blind here).
+    Verification: full-text hash fast path, else length-ratio admission
+    + normalized-lev floor on head/mid/tail aligned windows + jw floor
+    on the HEAD window only. The jw asymmetry is measured, not stylistic:
+    member texts differ from the canonical by scattered typo INSERTIONS,
+    which shift the char alignment mid-string — across a 2,000-member
+    viral family the aligned mid/tail windows score lev >= 0.943 but jw
+    as low as 0.8125 (jw penalizes the shift, normalized lev absorbs it
+    as a few edits), while the alignment-anchored head window keeps
+    jw >= 0.923. The mid/tail LEV windows are what keep the round-4
+    shared-boilerplate hard negatives evicted (divergent middles score
+    low lev); demanding jw there would only refuse true family members."""
+    from entity_resolver_spark.operators.canonical import canonical_by_frequency
+
+    win = STRING_SIM_PREFIX
+    suspects, n_susp = _materialize(
+        flagged.where(F.col("__evict")).select(
+            "conv_id",
+            F.col(cluster_col).alias("__vc"),
+            F.substring("norm_text", 1, MERGE_TEXT_CAP).alias("__stxt"),
+            F.length("norm_text").alias("__slen"),
+            F.xxhash64("norm_text").alias("__sh"),
+        )
+    )
+    if n_susp == 0:
+        return flagged
+    cids = suspects.select(F.col("__vc").alias(cluster_col)).distinct()
+    canon, n_canon = _materialize(
+        canonical_by_frequency(
+            records.join(cids, cluster_col, "left_semi"), cluster_col
+        ).select(
+            F.col(cluster_col).alias("__vc"),
+            F.substring("canonical_text", 1, MERGE_TEXT_CAP).alias("__ctxt"),
+            F.length("canonical_text").alias("__clen"),
+            F.xxhash64("canonical_text").alias("__ch"),
+        )
+    )
+    j = suspects.join(
+        _maybe_broadcast(canon, n_canon, PROFILE_BROADCAST_CAP), "__vc"
+    )
+    lm = F.least(F.col("__slen"), F.col("__clen"), F.lit(MERGE_TEXT_CAP))
+    mid_pos = F.greatest((lm / 2 - win // 2).cast("int"), F.lit(1))
+    tail_pos = F.greatest((lm - (win - 1)).cast("int"), F.lit(1))
+
+    def _lev_ok(pos) -> "F.Column":
+        wa = F.substring(F.col("__stxt"), pos, F.lit(win))
+        wb = F.substring(F.col("__ctxt"), pos, F.lit(win))
+        return lev_sim_expr(wa, wb) >= lev_floor
+
+    head_jw = jw_expr(
+        F.substring(F.col("__stxt"), 1, win), F.substring(F.col("__ctxt"), 1, win)
+    )
+    veto, n_veto = _materialize(
+        j.where(
+            (F.col("__sh") == F.col("__ch"))
+            | (
+                (
+                    F.least("__slen", "__clen")
+                    >= len_ratio_floor * F.greatest("__slen", "__clen")
+                )
+                & (head_jw >= jw_floor)
+                & _lev_ok(F.lit(1))
+                & _lev_ok(mid_pos)
+                & _lev_ok(tail_pos)
+            )
+        ).select("conv_id", F.lit(True).alias("__veto"))
+    )
+    if n_veto == 0:
+        return flagged
+    return (
+        flagged.join(_maybe_broadcast(veto, n_veto, MAP_BROADCAST_CAP), "conv_id", "left")
+        .withColumn("__evict", F.col("__evict") & ~F.coalesce("__veto", F.lit(False)))
+        .drop("__veto")
+    )
+
+
 def evict_outliers(
     records: DataFrame,
     cluster_col: str = "cluster",
@@ -430,6 +516,10 @@ def evict_outliers(
     cosine_floor: float = 0.80,
     margin_floor: float = 0.05,
     very_poor_floor: float = 0.30,
+    string_veto: bool = True,
+    veto_jw_floor: float = 0.90,
+    veto_lev_floor: float = 0.85,
+    veto_len_ratio_floor: float = 0.70,
 ) -> DataFrame:
     """Evict poor-fitting members by the reference's 2-of-3 vote
     (validator.py:404-469):
@@ -449,7 +539,31 @@ def evict_outliers(
     2+ votes evict; an extremely poor fit (own_cos < very_poor_floor)
     always evicts (reference override 1, validator.py:450-453).
     Evicted records become their own singleton cluster (own conv_id —
-    deterministic), eligible for reassignment."""
+    deterministic), eligible for reassignment.
+
+    STRING-EVIDENCE VETO (`string_veto`): all three votes read the SAME
+    signal — member->centroid cosine in fused-vector space — and that
+    signal degenerates on exactly the viral-template shape a 100 TB
+    transcript corpus contains. Inside a 10^5-member near-duplicate
+    family every shared template token's df is the family size, so its
+    IDF (and the member's vector mass on it) collapses toward zero; a
+    member whose only difference is a handful of typo'd words ends up
+    with a vector dominated by those rare typo tokens and a centroid
+    cosine of ~0.3 — all three votes then fire on a record whose TEXT
+    is near-identical to the family's. Measured: a 2,000-member viral
+    family sheds 2 such members (worst centroid cosine 0.311), and
+    vector-scored reassignment can never take them back. The reference
+    faces the same failure mode and leans on its STRING channels there —
+    reassignment scores are name(0.40)+address(0.40) string similarity
+    (config/schema.py:1436-1477), not embedding cosine. Here the veto
+    re-checks every evict-flagged member against its cluster's
+    frequency-canonical text with the SAME head/mid/tail aligned-window
+    + length-ratio discipline as merge_clusters_string (so the round-4
+    shared-boilerplate hard negatives still evict: they fail the middle
+    window); near-identical text cancels the eviction. Bounded: only
+    flagged suspects are checked, canonicals are built only for their
+    clusters (semi-join), windows cap the DP at STRING_SIM_PREFIX
+    chars."""
     prof, n_prof = _materialize(
         cluster_profiles(records, cluster_col).select(cluster_col, "c_idx", "c_val", "size")
     )
@@ -520,8 +634,10 @@ def evict_outliers(
     # v3 has one row per suspect — unbounded by construction on skewed
     # data, so NO broadcast hint (AQE decides from its runtime size;
     # the reference bounds the analogous subset by sampling,
-    # validator.py:805-815)
-    out = (
+    # validator.py:805-815). Materialized because the veto branch adds
+    # a second consumer of the flagged frame below.
+    v3, _ = _materialize(v3)
+    flagged = (
         voted.join(v3, "conv_id", "left")
         .fillna({"__v3": False})
         .withColumn(
@@ -533,6 +649,18 @@ def evict_outliers(
             )
             | (eligible & (F.col("__cos") < very_poor_floor)),
         )
+    )
+    if string_veto and "norm_text" in records.columns:
+        flagged = _string_evidence_veto(
+            flagged,
+            records,
+            cluster_col,
+            jw_floor=veto_jw_floor,
+            lev_floor=veto_lev_floor,
+            len_ratio_floor=veto_len_ratio_floor,
+        )
+    out = (
+        flagged
         .withColumn(
             cluster_col,
             F.when(F.col("__evict"), F.col("conv_id")).otherwise(F.col(cluster_col)),

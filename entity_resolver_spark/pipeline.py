@@ -265,6 +265,10 @@ class EntityResolverPipeline:
                     cosine_floor=ref.evict_cosine_floor,
                     margin_floor=ref.evict_margin_floor,
                     very_poor_floor=ref.evict_very_poor_floor,
+                    string_veto=ref.evict_string_veto,
+                    veto_jw_floor=ref.evict_veto_jw_floor,
+                    veto_lev_floor=ref.evict_veto_lev_floor,
+                    veto_len_ratio_floor=ref.merge_len_ratio_floor,
                 ).drop("evicted").transform(eager_cut)
                 _mark("evict_outliers", out)
             if ref.reassign_singletons:

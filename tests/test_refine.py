@@ -75,6 +75,44 @@ def test_evict_outlier(spark):
     assert got["z0"][0] == "cz"                      # too small to evict from
 
 
+def test_evict_string_veto(spark):
+    """Viral-template IDF degeneration reduced to a fixture: inside a
+    mega-family the shared template's IDF collapses and a typo'd
+    member's VECTOR looks alien (centroid cosine ~0.3 measured at 2k
+    members) even though its TEXT is a near-identical copy. The veto
+    must rescue the text-identical member (including from the
+    very-poor override) while a genuinely-alien member still evicts."""
+    T = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = (
+        [(f"v{i}", "cv", T) for i in range(6)]
+        + [("lier", "cv", B), ("alien", "cv", B + " extra")]
+        + [(f"z{i}", "cz", A + f" p{i}") for i in range(4)]
+    )
+    df = _vectorized(spark, rows)
+    # 'lier': alien vector, but norm_text is the canonical with 2 typos
+    # (past the jw 64-char prefix cap — the head anchor must stay clean,
+    # which is exactly the real viral-member shape: anchor token first)
+    near = T.replace("xi ", "xix ").replace("upsilon", "upsilonn")
+    df = df.withColumn(
+        "norm_text",
+        F.when(F.col("conv_id") == "lier", F.lit(near)).otherwise(F.col("norm_text")),
+    )
+    out = evict_outliers(df, min_cluster_size=4, z_floor=1.5, cosine_floor=0.8)
+    got = {r["conv_id"]: (r["cluster"], r["evicted"]) for r in out.collect()}
+    assert got["lier"] == ("cv", False)      # text evidence cancels eviction
+    assert got["alien"] == ("alien", True)   # true outlier still evicted
+    assert got["v0"] == ("cv", False)
+    # veto off -> vector-only behavior (proves the veto did the rescue)
+    out0 = evict_outliers(
+        df, min_cluster_size=4, z_floor=1.5, cosine_floor=0.8, string_veto=False
+    )
+    got0 = {r["conv_id"]: r["evicted"] for r in out0.collect()}
+    assert got0["lier"] is True
+
+
 def test_reassign_singleton(spark):
     rows = [
         ("m1", "cm", A + " one"), ("m2", "cm", A + " two"),
