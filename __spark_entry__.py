@@ -154,43 +154,125 @@ def q_blocking_key(spark, sf_dir):
     )
 
 
-def q_lev_similarity(spark, sf_dir):
-    """K1: exp(-2*lev/(len_a+len_b)) over same-nation customer pairs."""
+def _same_nation_pair_input(spark, sf_dir, n_slices: int):
+    """customer rows replicated once per work slice, partitioned so a
+    (nation, slice) group never spans partitions (see
+    ckernels.block_pairs_map: pairs are GENERATED kernel-side because
+    the JVM->Python Arrow serialization of a joined 450M-row pair table
+    costs ~10x the metric itself; Python->JVM streaming of the scored
+    pairs is cheap)."""
     c = _read(spark, sf_dir, "customer")
-    a = c.select(F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"),
-                 F.col("c_nationkey").alias("nk"))
-    b = c.select(F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb"),
-                 F.col("c_nationkey").alias("nk"))
-    from entity_resolver_spark.functions.similarity import lev_sim_expr
+    par = spark.sparkContext.defaultParallelism
+    repl = c.select(
+        F.col("c_nationkey").cast("long").alias("nk"),
+        F.col("c_custkey").alias("ck"),
+        F.col("c_name").alias("cn"),
+    ).withColumn(
+        "__slice", F.explode(F.array(*[F.lit(s) for s in range(n_slices)]))
+    )
+    return repl.repartition(max(4 * par, 16), "nk", "__slice"), c
 
-    # nk has ~25 distinct values: a shuffle join would serialize into 25
-    # tasks no matter the cluster size. Broadcasting the build side keeps
-    # the pair expansion partitioned by the PROBE side's splits instead.
-    return (
-        a.join(F.broadcast(b), "nk")
-        .where(F.col("ka") < F.col("kb"))
-        .select(
-            "ka", "kb",
-            F.round(lev_sim_expr(F.col("na"), F.col("nb")), 6).alias("lev_sim"),
+
+def q_lev_similarity(spark, sf_dir):
+    """K1: exp(-2*lev/(len_a+len_b)) over same-nation customer pairs.
+
+    r6: pairs are generated AND the integer edit distance computed by
+    the native C block kernel (common prefix/suffix stripped, then DP
+    over the differing core) — the former plan paid ~1.9us/pair of JVM
+    levenshtein, and the intermediate mapInArrow variant paid ~130s of
+    JVM->Python serialization for the joined pair table. The
+    exp()/round() floats stay in Spark SQL, so the similarity values
+    are produced by the exact same JVM expressions as before."""
+    from pyspark.sql import types as T
+
+    from entity_resolver_spark.functions import ckernels
+
+    if not ckernels.available():  # pragma: no cover - cc exists in CI/bench
+        from entity_resolver_spark.functions.similarity import lev_sim_expr
+
+        c = _read(spark, sf_dir, "customer")
+        a = c.select(F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"),
+                     F.col("c_nationkey").alias("nk"))
+        b = c.select(F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb"),
+                     F.col("c_nationkey").alias("nk"))
+        return (
+            a.join(F.broadcast(b), "nk")
+            .where(F.col("ka") < F.col("kb"))
+            .select("ka", "kb",
+                    F.round(lev_sim_expr(F.col("na"), F.col("nb")), 6).alias("lev_sim"))
         )
+    par = spark.sparkContext.defaultParallelism
+    n_slices = max(2, par)
+    repl, c = _same_nation_pair_input(spark, sf_dir, n_slices)
+    key_t = c.schema["c_custkey"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", key_t),
+            T.StructField("id_b", key_t),
+            T.StructField("lev", T.IntegerType()),
+            T.StructField("len_a", T.IntegerType()),
+            T.StructField("len_b", T.IntegerType()),
+        ]
+    )
+    scored = repl.mapInArrow(
+        ckernels.block_pairs_map("lev", "nk", "__slice", "ck", "cn", n_slices, cap=256),
+        out_schema,
+    )
+    denom = F.col("len_a") + F.col("len_b")
+    return scored.select(
+        F.col("id_a").alias("ka"), F.col("id_b").alias("kb"),
+        F.round(
+            F.when(denom == 0, F.lit(1.0)).otherwise(
+                F.exp(-2.0 * F.col("lev") / denom)
+            ),
+            6,
+        ).alias("lev_sim"),
     )
 
 
 def q_jaro_winkler(spark, sf_dir):
-    """Jaro-Winkler over same-nation customer pairs (Arrow UDF) — the
-    DuckDB builtin jaro_winkler_similarity is the oracle."""
+    """Jaro-Winkler over same-nation customer pairs (r6: C block
+    kernel generates + scores the pairs) — the DuckDB builtin
+    jaro_winkler_similarity is the oracle."""
     c = _read(spark, sf_dir, "customer")
     a = c.select(F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"),
                  F.col("c_nationkey").alias("nk"))
     b = c.select(F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb"),
                  F.col("c_nationkey").alias("nk"))
-    from entity_resolver_spark.functions.similarity import jw_expr
+    from pyspark.sql import types as T
 
-    # Same broadcast rationale as q_lev_similarity: 25-key equi-join.
-    return (
-        a.join(F.broadcast(b), "nk")
-        .where(F.col("ka") < F.col("kb"))
-        .select("ka", "kb", F.round(jw_expr(F.col("na"), F.col("nb")), 4).alias("jw"))
+    from entity_resolver_spark.functions import ckernels
+
+    if not ckernels.available():  # pragma: no cover - cc exists in CI/bench
+        from entity_resolver_spark.functions.similarity import jw_expr
+
+        # broadcast rationale as in the fallback of q_lev_similarity
+        return (
+            a.join(F.broadcast(b), "nk")
+            .where(F.col("ka") < F.col("kb"))
+            .select("ka", "kb", F.round(jw_expr(F.col("na"), F.col("nb")), 4).alias("jw"))
+        )
+    # r6: pairs generated + scored inside the C block kernel (same
+    # doubles as the former NumPy kernel — identical operation order);
+    # see _same_nation_pair_input for why the join was removed.
+    par = spark.sparkContext.defaultParallelism
+    n_slices = max(2, par)
+    repl, _ = _same_nation_pair_input(spark, sf_dir, n_slices)
+    key_t = c.schema["c_custkey"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", key_t),
+            T.StructField("id_b", key_t),
+            T.StructField("jw_raw", T.DoubleType()),
+        ]
+    )
+    scored = repl.mapInArrow(
+        ckernels.block_pairs_map("jw", "nk", "__slice", "ck", "cn", n_slices, cap=64),
+        out_schema,
+    )
+    return scored.select(
+        F.col("id_a").alias("ka"), F.col("id_b").alias("kb"),
+        F.round("jw_raw", 4).alias("jw"),
     )
 
 
@@ -469,29 +551,27 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_token_stats(spark, sf_dir):
-    """Token counting (whitespace + BPE-ish subword estimate)."""
-    from entity_resolver_spark.operators.textstats import (
-        bpe_ish_token_count_expr,
-        token_count_expr,
-    )
+    """Token counting (whitespace + BPE-ish subword estimate) — r6:
+    explode+codegen-aggregate table form (value-identical; the
+    expression form ran interpreted higher-order lambdas per word)."""
+    from entity_resolver_spark.operators.textstats import token_stats_table
 
     docs = _read(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        token_count_expr(F.col("text")).alias("n_tokens"),
-        bpe_ish_token_count_expr(F.col("text")).alias("n_tokens_bpe"),
-    )
+    return token_stats_table(docs).select("doc_id", "n_tokens", "n_tokens_bpe")
 
 
 def q_quality_lang(spark, sf_dir):
-    """Quality score + stopword-vote language ID."""
-    from entity_resolver_spark.operators.textstats import lang_id_expr, quality_score_expr
+    """Quality score + stopword-vote language ID — r6: explode+codegen
+    aggregate table form (same counts, same double order, same
+    tie-break; the expression form ran ~40 interpreted comparisons per
+    word)."""
+    from entity_resolver_spark.operators.textstats import quality_lang_table
 
     docs = _read(spark, sf_dir, "documents")
-    return docs.select(
+    return quality_lang_table(docs).select(
         "doc_id",
-        F.round(quality_score_expr(F.col("text")), 6).alias("quality"),
-        lang_id_expr(F.col("text")).alias("lang_pred"),
+        F.round(F.col("quality"), 6).alias("quality"),
+        "lang_pred",
     )
 
 

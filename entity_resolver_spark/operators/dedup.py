@@ -28,11 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from entity_resolver_spark.operators.blocking import (
-    band_keys,
-    minhash_signature,
-    minhash_signature_portable,
-)
+from entity_resolver_spark.operators.blocking import POLY_MOD, band_keys
 
 
 # ---------------------------------------------------------------------------
@@ -128,14 +124,41 @@ def minhash_lsh_pairs(
     if portable:
         from entity_resolver_spark.operators.textstats import poly_hash_expr
 
-        hashed = sh.select(
+        sh = sh.select(
             "id", "sh", F.transform("sh", lambda t: poly_hash_expr(t)).alias("ph")
         )
-        sig = hashed.select(
-            "id", minhash_signature_portable(F.col("ph"), n_hashes).alias("sig")
-        )
+    # r6 (guide §3.3/§1): materialize the shingle arrays ONCE per
+    # invocation — the signature, the band join's two sides and the two
+    # verify attachments all reference this subtree, and Spark re-plans
+    # (and re-ran) the interpreted shingling for each appearance (8
+    # parquet scans in the r5 physical plan). localCheckpoint truncates
+    # the plan; nothing persists across invocations.
+    sh = sh.localCheckpoint()
+    # r6 (guide §4.1): signature via explode + codegen'd hash aggregate.
+    # The former array-expression form (n_hashes x array_min(transform))
+    # is a higher-order function chain, which Catalyst evaluates
+    # INTERPRETED per element — n_hashes passes over every shingle array.
+    if portable:
+        ex = sh.select("id", F.explode_outer("ph").alias("h"))
+        aggs = [
+            F.min(
+                F.pmod(F.col("h") * (2 * i + 3) + (5 * i + 7), F.lit(POLY_MOD))
+            ).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
     else:
-        sig = sh.select("id", minhash_signature(F.col("sh"), n_hashes).alias("sig"))
+        ex = sh.select("id", F.explode_outer("sh").alias("t"))
+        aggs = [
+            F.min(
+                F.when(F.col("t").isNotNull(), F.xxhash64(F.lit(i), F.col("t")))
+            ).alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    sig = (
+        ex.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig"))
+    )
     banded = sig.select(
         "id", F.explode(band_keys(F.col("sig"), n_hashes, n_bands)).alias("bk")
     )
@@ -173,6 +196,11 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), shingle_n)).alias("s")
     ).distinct()
+    # r6 (guide §3.3): the exploded-shingle table feeds sizes, the hot-
+    # shingle filter and BOTH sides of the intersection self-join; the
+    # r5 plan re-derived it for each reference (12 parquet scans, 6
+    # interpreted shingling passes). Materialize once per invocation.
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     hot = sh.groupBy("s").agg(F.count("*").alias("df")).where(F.col("df") > max_shingle_df)
     sh = sh.join(hot, "s", "left_anti")
@@ -261,40 +289,92 @@ def simhash_pairs(
 
     else:
         tok_hash = F.xxhash64
-    # materialize token hashes as a real column: referenced 64 times by
-    # the per-bit votes, and a non-cheap expression tree would be
-    # re-evaluated per reference if inlined
-    hashed = docs.select(
-        F.col(id_col).alias("id"),
-        F.transform(toks, lambda t: tok_hash(t)).alias("th"),
+    # r6 (guide §4.1): the former simhash64(array) form ran 64
+    # higher-order F.aggregate lambdas per doc — Catalyst evaluates
+    # those INTERPRETED, one pass over the token array per bit — and the
+    # chunk self-join re-evaluated the whole thing for both sides
+    # (measured: 151s warm at sf1.0). Explode the tokens once, hash each
+    # token once in a projection, and collect the 64 bit votes as
+    # codegen'd SUM aggregates; explode_outer + coalesce(sum, 0)
+    # reproduces the empty-doc vote (0 votes over n=0 tokens sets every
+    # bit) exactly.
+    tokd = docs.select(F.col(id_col).alias("id"), F.explode_outer(toks).alias("t"))
+    hashed = tokd.select(
+        "id", F.when(F.col("t").isNotNull(), tok_hash(F.col("t"))).alias("h")
     )
-    sh = hashed.select("id", simhash64(F.col("th")).alias("sim"))
-    n_chunks = max_hamming + 1
-    if n_chunks > 64:
-        raise ValueError(f"max_hamming={max_hamming} needs >64 chunks of a 64-bit hash")
-    # even bit-range split: chunk c covers [bounds[c], bounds[c+1]), every
-    # chunk non-empty for any n_chunks <= 64
-    bounds = [round(64 * c / n_chunks) for c in range(n_chunks + 1)]
-    chunk_cols = []
-    for c in range(n_chunks):
-        lo, w = bounds[c], bounds[c + 1] - bounds[c]
-        mask = (1 << w) - 1
-        chunk_cols.append(
-            F.concat_ws(
-                ":",
-                F.lit(str(c)),
-                F.shiftright(F.col("sim"), lo).bitwiseAND(F.lit(mask)).cast("string"),
-            )
+    votes = hashed.groupBy("id").agg(
+        F.count("h").alias("n"),
+        *[
+            F.coalesce(
+                F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("int")),
+                F.lit(0),
+            ).alias(f"v{b}")
+            for b in range(64)
+        ],
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.shiftleft((F.col(f"v{b}") * 2 >= F.col("n")).cast("long"), b)
         )
-    chunks = sh.select("id", "sim", F.explode(F.array(*chunk_cols)).alias("chunk"))
-    a = chunks.select("chunk", F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
-    b = chunks.select("chunk", F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
+    # materialized once: both sides of the chunk self-join read this
+    # 1-row-per-doc table instead of re-running tokenize+hash+votes
+    sh = votes.select("id", sim.alias("sim")).localCheckpoint()
+    if max_hamming + 1 > 64:
+        raise ValueError(f"max_hamming={max_hamming} needs >64 chunks of a 64-bit hash")
+    # r6 (guide §2.5): COMBINATORIAL pigeonhole banding. The classic
+    # split into max_hamming+1 chunks guarantees recall (<= max_hamming
+    # flips leave one chunk intact) but on a templated corpus the
+    # per-chunk value distribution is extremely skewed — at sf1.0 the
+    # hottest 9-bit chunk value held 17,684 of 50,000 docs and the
+    # candidate join emitted 490M rows for a 1.4M-row true result.
+    # Demanding r chunks agree instead of 1 (m = max_hamming + r
+    # chunks: <= max_hamming flips still leave >= r intact, so SOME
+    # r-subset matches and recall stays exactly 1) makes each key
+    # carry r chunks' worth of bits: measured 490M -> 134M candidate
+    # rows at r=3. Keys are packed LONGS (combo id + r chunk values),
+    # not strings, and the hamming verify runs BEFORE the pair dedup so
+    # the shuffle only carries true pairs.
+    import itertools as _it
+    import math as _math
+
+    r = 3
+    while r > 1:
+        m = max_hamming + r
+        maxw = _math.ceil(64 / m)
+        n_combos = _math.comb(m, r)
+        if (
+            m <= 64
+            and n_combos <= 256
+            and n_combos.bit_length() + r * maxw <= 63
+        ):
+            break
+        r -= 1
+    m = max_hamming + r
+    n_combos = _math.comb(m, r)
+    bounds = [round(64 * c / m) for c in range(m + 1)]
+    maxw = max(bounds[c + 1] - bounds[c] for c in range(m))
+    chunk = [
+        F.shiftright(F.col("sim"), bounds[c]).bitwiseAND(
+            F.lit((1 << (bounds[c + 1] - bounds[c])) - 1)
+        )
+        for c in range(m)
+    ]
+    keys = []
+    for ci, combo in enumerate(_it.combinations(range(m), r)):
+        k = F.lit(ci).cast("long")
+        for c in combo:
+            k = F.shiftleft(k, maxw).bitwiseOR(chunk[c])
+        keys.append(k)
+    banded = sh.select("id", "sim", F.explode(F.array(*keys)).alias("bk"))
+    a = banded.select("bk", F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
+    b = banded.select("bk", F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
     return (
-        a.join(b, "chunk")
+        a.join(b, "bk")
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
@@ -346,6 +426,9 @@ def embedding_dup_pairs(
         )
 
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # r6: the vector table feeds the sketch UDF and both verify
+    # attachments — materialize once instead of three scans+repartitions
+    base = base.localCheckpoint()
     sk = base.select("id", F.explode(_buckets(F.col("v"))).alias("bucket"))
     a = sk.select("bucket", F.col("id").alias("id_a"))
     b = sk.select("bucket", F.col("id").alias("id_b"))

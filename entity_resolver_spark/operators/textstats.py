@@ -103,6 +103,82 @@ def lang_id_expr(text: Column) -> Column:
     return F.when(best["hits"] >= 2, best["code"]).otherwise(F.lit("und"))
 
 
+def token_stats_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_tokens_bpe) — value-identical to
+    token_count_expr / bpe_ish_token_count_expr, but computed by
+    exploding the word array once and aggregating with codegen'd SUMs
+    (guide §4.1: the higher-order F.aggregate/F.filter chain is
+    evaluated interpreted per element). Integer counts are exact, so
+    the outputs match the expression forms bit-for-bit."""
+    t = F.col(text_col)
+    ex = docs.select(F.col(id_col), F.explode_outer(words_expr(t)).alias("w"))
+    agg = ex.groupBy(id_col).agg(
+        F.count("w").cast("int").alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.ceil(F.length("w") / 4.0).cast("int")), F.lit(0)
+        ).cast("int").alias("__pieces"),
+    )
+    punct_runs = F.size(
+        F.filter(F.split(t, r"[a-zA-Z0-9\s]+"), lambda x: F.length(x) > 0)
+    )
+    base = docs.select(F.col(id_col), punct_runs.alias("__punct_runs"))
+    return base.join(agg, id_col).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (F.col("__pieces") + F.col("__punct_runs")).alias("n_tokens_bpe"),
+    )
+
+
+def quality_lang_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, quality, lang_pred) — value-identical to quality_score_expr
+    / lang_id_expr (same count inputs, same double-arithmetic order,
+    same struct-max tie-break), computed via one explode + codegen'd
+    conditional-sum aggregates instead of interpreted per-word
+    higher-order filters (4 stopword lists x 10 words each = ~40
+    interpreted comparisons per word in the old form)."""
+    t = F.col(text_col)
+    ex = docs.select(F.col(id_col), F.explode_outer(words_expr(t)).alias("w"))
+    hit_aggs = [
+        F.coalesce(
+            F.sum(F.col("w").isin(sws).cast("int")), F.lit(0)
+        ).cast("int").alias(f"__h_{code}")
+        for code, sws in _LANG_STOPWORDS.items()
+    ]
+    agg = ex.groupBy(id_col).agg(
+        F.count("w").cast("int").alias("__n_words"),
+        F.coalesce(F.sum(F.length("w")), F.lit(0)).cast("int").alias("__sum_wl"),
+        *hit_aggs,
+    )
+    n_chars = F.length(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    base = docs.select(F.col(id_col), n_chars.alias("__n_chars"), n_punct.alias("__n_punct"))
+    j = base.join(agg, id_col)
+
+    n_words = F.col("__n_words")
+    len_f = F.least(n_words.cast("double") / 200.0, F.lit(1.0))
+    punct_ratio = F.when(
+        F.col("__n_chars") > 0, F.col("__n_punct").cast("double") / F.col("__n_chars")
+    ).otherwise(1.0)
+    punct_f = F.greatest(F.lit(0.0), 1.0 - punct_ratio * 5.0)
+    sw_ratio = F.when(n_words > 0, F.col("__h_en").cast("double") / n_words).otherwise(0.0)
+    sw_f = F.least(sw_ratio * 4.0, F.lit(1.0))
+    mean_wl = F.when(n_words > 0, F.col("__sum_wl").cast("double") / n_words).otherwise(0.0)
+    wl_f = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), 1.0).otherwise(0.3)
+    quality = 0.3 * len_f + 0.2 * punct_f + 0.3 * sw_f + 0.2 * wl_f
+
+    lang_structs = [
+        F.struct(
+            F.col(f"__h_{code}").alias("hits"),
+            F.lit(-{"en": 0, "de": 1, "fr": 2, "es": 3}[code]).alias("nord"),
+            F.lit(code).alias("code"),
+        )
+        for code in _LANG_STOPWORDS
+    ]
+    best = F.greatest(*lang_structs)
+    lang = F.when(best["hits"] >= 2, best["code"]).otherwise(F.lit("und"))
+    return j.select(F.col(id_col), quality.alias("quality"), lang.alias("lang_pred"))
+
+
 def poly_hash_expr(s: Column, mod: int = 1_000_000_007, base: int = 31) -> Column:
     """Deterministic polynomial string hash ((h*base + codepoint) % mod
     folded over the characters) — an engine-portable alternative to
