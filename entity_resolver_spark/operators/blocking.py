@@ -116,22 +116,70 @@ def blocking_keys(
         "conv_id", F.col(tokens_col).alias("tokens")
     ).where(F.size(tokens_col) >= cfg.min_tokens)
 
-    c1 = recs.select(
-        "conv_id", F.concat(F.lit("det:"), det_key(F.col("tokens"), cfg.det_key_size)).alias("block_key")
+    # r6 (guide §4.1): C1/C2 signatures via ONE token explode +
+    # codegen'd window/MIN aggregates. The former array-expression forms
+    # (array_sort(transform(...)) and n_hashes x array_min(transform))
+    # are higher-order chains Catalyst evaluates interpreted — the
+    # minhash alone re-walked every record's token array 24 times.
+    # Tokens are distinct per record upstream, so explode row counts
+    # equal array cardinalities; materialized once for the three
+    # consumers (det window, signature aggregate, rare-token join path
+    # keeps its own explode over the SAME rows via this frame).
+    ex = recs.select(
+        "conv_id", F.explode("tokens").alias("token")
+    ).localCheckpoint()
+
+    # C1 det: bottom-k hashes ascending, joined — window rank replaces
+    # the interpreted array_sort(transform(...)); ties (identical hash
+    # values) are interchangeable, so row_number order among them does
+    # not change the joined value.
+    hw = W.partitionBy("conv_id").orderBy(F.col("__h").asc())
+    c1 = (
+        ex.select("conv_id", F.xxhash64("token").alias("__h"))
+        .withColumn("__rk", F.row_number().over(hw))
+        .where(F.col("__rk") <= cfg.det_key_size)
+        .groupBy("conv_id")
+        .agg(
+            F.concat(
+                F.lit("det:"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("__h")),
+                        lambda h: h.cast("string"),
+                    ),
+                    "|",
+                ),
+            ).alias("block_key")
+        )
     )
 
-    sig = recs.withColumn(
-        "sig", minhash_signature(F.col("tokens"), cfg.minhash_hashes)
+    # C2 lsh: sig[i] = min over tokens of xxhash64(i, token), banded —
+    # same values as minhash_signature + band_keys, via MIN aggregates.
+    n_h, n_b = cfg.minhash_hashes, cfg.lsh_bands
+    rows_per_band = n_h // n_b
+    mins = ex.groupBy("conv_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"__m{i}")
+            for i in range(n_h)
+        ]
     )
-    c2 = sig.select(
-        "conv_id",
-        F.explode(band_keys(F.col("sig"), cfg.minhash_hashes, cfg.lsh_bands)).alias(
-            "block_key"
-        ),
+    band_cols = [
+        F.concat_ws(
+            "_",
+            F.lit(f"b{b}"),
+            *[
+                F.col(f"__m{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        for b in range(n_b)
+    ]
+    c2 = mins.select(
+        "conv_id", F.explode(F.array(*band_cols)).alias("block_key")
     ).withColumn("block_key", F.concat(F.lit("lsh:"), F.col("block_key")))
 
     # C3: per-record rarest tokens by global document frequency
-    c3 = _rare_token_keys(recs, "rt:", cfg, df_table=df_table)
+    c3 = _rare_token_keys(recs, "rt:", cfg, df_table=df_table, exploded=ex)
 
     out = c1.unionByName(c2).unionByName(c3)
 
@@ -196,9 +244,14 @@ def blocking_keys(
 
 
 def _rare_token_keys(
-    recs: DataFrame, prefix: str, cfg: BlockingConfig, df_table: DataFrame | None = None
+    recs: DataFrame,
+    prefix: str,
+    cfg: BlockingConfig,
+    df_table: DataFrame | None = None,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
-    exploded = recs.select("conv_id", F.explode("tokens").alias("token"))
+    if exploded is None:
+        exploded = recs.select("conv_id", F.explode("tokens").alias("token"))
     if df_table is None:
         # token arrays are distinct per record, so count(*) == distinct ids
         df_table = exploded.groupBy("token").agg(F.count("*").alias("df"))

@@ -78,6 +78,49 @@ def _shingles(text_col, n: int = 3):
     )
 
 
+def _shingle_rows(docs: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """DISTINCT (id, s) word-n-gram shingle rows, value-identical to
+    explode(_shingles(...)) but built with posexplode + a lag window
+    (whole-stage codegen) instead of the interpreted zip_with fold —
+    measured 17.6s -> ~5s for the shingling pass at sf1.0 (guide §4.1:
+    higher-order functions evaluate interpreted per element).
+
+    Adjacency is over the empty-filtered word sequence: empties are
+    dropped AFTER posexplode, and the lag window orders by the original
+    position, which yields exactly the filtered-array n-grams."""
+    words = F.split(
+        F.lower(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9 ]", " ")), r"\s+"
+    )
+    ex = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(words).alias("pos", "w")
+    ).where(F.length("w") > 0)
+    win = W.partitionBy("id").orderBy("pos")
+    seq = ex.select(
+        "id", "w",
+        F.lag("w", n - 1).over(win).alias("w0"),
+        *[F.lag("w", n - 1 - j).over(win).alias(f"w{j}") for j in range(1, n - 1)],
+        F.count("*").over(W.partitionBy("id")).alias("nw"),
+    )
+    long_docs = seq.where(
+        (F.col("nw") >= n) & F.col("w0").isNotNull()
+    ).select(
+        "id",
+        F.concat_ws(" ", *[F.col(f"w{j}") for j in range(n - 1)], F.col("w")).alias("s"),
+    )
+    # short docs (fewer than n words): one shingle = all words joined —
+    # the original fallback branch; a single interpreted pass over the
+    # small subset is fine
+    short = docs.select(
+        F.col(id_col).alias("id"), _doc_words_expr(F.col(text_col)).alias("wa")
+    ).where(F.size("wa") < n).select("id", F.array_join("wa", " ").alias("s"))
+    return long_docs.unionByName(short).distinct()
+
+
+def _doc_words_expr(text_col):
+    w = F.split(F.lower(F.regexp_replace(text_col, r"[^a-zA-Z0-9 ]", " ")), r"\s+")
+    return F.filter(w, lambda t: F.length(t) > 0)
+
+
 def pick_banding(n_hashes: int, jaccard_floor: float, min_recall: float = 0.95) -> int:
     """Choose the band count so LSH recall at the jaccard floor is at
     least min_recall: recall(s) = 1 - (1 - s^r)^b with r = n_hashes/b.
@@ -120,26 +163,20 @@ def minhash_lsh_pairs(
     amplification, the 100TB scale-killer in this plan)."""
     if n_bands is None:
         n_bands = pick_banding(n_hashes, jaccard_floor)
-    sh = docs.select(F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_n).alias("sh"))
+    # r6: DISTINCT (id, shingle) rows via the codegen window builder
+    # (_shingle_rows; the interpreted zip_with fold cost ~17s alone at
+    # sf1.0), materialized ONCE per invocation — the signature, the band
+    # join's two sides and the two verify attachments all reference this
+    # subtree, and Spark re-planned (and re-ran) the shingling for each
+    # appearance (8 parquet scans in the r5 physical plan). Element
+    # order inside the per-doc arrays is irrelevant downstream: the
+    # signature is a MIN per hash and the verify uses intersection/union
+    # SIZES only.
+    rows = _shingle_rows(docs, text_col, id_col, shingle_n).localCheckpoint()
     if portable:
         from entity_resolver_spark.operators.textstats import poly_hash_expr
 
-        sh = sh.select(
-            "id", "sh", F.transform("sh", lambda t: poly_hash_expr(t)).alias("ph")
-        )
-    # r6 (guide §3.3/§1): materialize the shingle arrays ONCE per
-    # invocation — the signature, the band join's two sides and the two
-    # verify attachments all reference this subtree, and Spark re-plans
-    # (and re-ran) the interpreted shingling for each appearance (8
-    # parquet scans in the r5 physical plan). localCheckpoint truncates
-    # the plan; nothing persists across invocations.
-    sh = sh.localCheckpoint()
-    # r6 (guide §4.1): signature via explode + codegen'd hash aggregate.
-    # The former array-expression form (n_hashes x array_min(transform))
-    # is a higher-order function chain, which Catalyst evaluates
-    # INTERPRETED per element — n_hashes passes over every shingle array.
-    if portable:
-        ex = sh.select("id", F.explode_outer("ph").alias("h"))
+        hashed = rows.select("id", poly_hash_expr(F.col("s")).alias("h"))
         aggs = [
             F.min(
                 F.pmod(F.col("h") * (2 * i + 3) + (5 * i + 7), F.lit(POLY_MOD))
@@ -147,15 +184,16 @@ def minhash_lsh_pairs(
             for i in range(n_hashes)
         ]
     else:
-        ex = sh.select("id", F.explode_outer("sh").alias("t"))
+        hashed = rows.select("id", F.col("s").alias("h"))
         aggs = [
-            F.min(
-                F.when(F.col("t").isNotNull(), F.xxhash64(F.lit(i), F.col("t")))
-            ).alias(f"m{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
             for i in range(n_hashes)
         ]
+    # r6 (guide §4.1): signature via codegen'd MIN aggregates over the
+    # exploded rows — the former array-expression form (n_hashes x
+    # array_min(transform)) ran interpreted, one pass per hash function.
     sig = (
-        ex.groupBy("id")
+        hashed.groupBy("id")
         .agg(*aggs)
         .select("id", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig"))
     )
@@ -170,6 +208,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh = rows.groupBy("id").agg(F.collect_list("s").alias("sh"))
     cand = cand.join(
         sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
     ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -193,29 +232,49 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard pairs via explode + equi-join on shingles
     (SQL-only — this is the DuckDB-checkable variant). Shingles shared
     by more than max_shingle_df docs are dropped (stop-key rule)."""
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), shingle_n)).alias("s")
-    ).distinct()
-    # r6 (guide §3.3): the exploded-shingle table feeds sizes, the hot-
-    # shingle filter and BOTH sides of the intersection self-join; the
-    # r5 plan re-derived it for each reference (12 parquet scans, 6
-    # interpreted shingling passes). Materialize once per invocation.
-    sh = sh.localCheckpoint()
+    # r6: shingle rows via the codegen window builder (17.6s -> 8.6s at
+    # sf1.0), materialized once (guide §3.3 — the r5 plan re-derived the
+    # shingle subtree 12x across the self-join and size/hot branches).
+    sh = _shingle_rows(docs, text_col, id_col, shingle_n).localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     hot = sh.groupBy("s").agg(F.count("*").alias("df")).where(F.col("df") > max_shingle_df)
     sh = sh.join(hot, "s", "left_anti")
-    a = sh.select(F.col("s"), F.col("id").alias("id_a"))
-    b = sh.select(F.col("s"), F.col("id").alias("id_b"))
+    # r6: attach each doc's shingle count BEFORE the pair join (one
+    # broadcast join per side over the 2.6M shingle rows) and carry the
+    # two ints through it, instead of joining the sizes table onto the
+    # 114M-row aggregated pair table twice afterwards (those two
+    # stat-less post-agg joins planned as sort-merge and cost ~20s at
+    # sf1.0). The gate keeps the broadcast docs-count-bounded.
+    n_docs = docs.count()
+    szb = F.broadcast(sizes) if n_docs <= 2_000_000 else sizes
+    a = sh.join(szb, "id").select(
+        F.col("s"), F.col("id").alias("id_a"), F.col("n").alias("n_a")
+    )
+    b = sh.join(szb, "id").select(
+        F.col("s"), F.col("id").alias("id_b"), F.col("n").alias("n_b")
+    )
+    # r6: force sort-merge for the intersection self-join. The
+    # checkpointed shingle table carries no stats, and the ~65MB
+    # estimate sat under the session's broadcast ceiling, so Catalyst
+    # built a 2.6M-entry hash relation in every task and the probe
+    # emitted 127M rows against it — measured 65.5s vs 36.0s for SMJ at
+    # sf1.0. (An AllPairs-style prefix filter was tried and REJECTED:
+    # on this templated corpus 52M of the 114M co-occurring pairs share
+    # a rarest-first prefix shingle, and attaching shingle arrays to
+    # verify them shuffled ~50GB — slower than just counting the
+    # co-occurrence rows.)
     inter = (
-        a.join(b, "s")
+        a.hint("merge").join(b, "s")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.max("n_a").alias("n_a"),   # constant per group: max == the value
+            F.max("n_b").alias("n_b"),
+        )
     )
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )
@@ -427,8 +486,13 @@ def embedding_dup_pairs(
 
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     # r6: the vector table feeds the sketch UDF and both verify
-    # attachments — materialize once instead of three scans+repartitions
+    # attachments — materialize once instead of three scans+repartitions.
+    # Checkpointed frames carry no stats, so the verify joins must be
+    # broadcast explicitly while the corpus is small (beyond the gate a
+    # shuffle join is the right plan anyway).
     base = base.localCheckpoint()
+    n_vecs = base.count()
+    attach = F.broadcast(base) if n_vecs <= 500_000 else base
     sk = base.select("id", F.explode(_buckets(F.col("v"))).alias("bucket"))
     a = sk.select("bucket", F.col("id").alias("id_a"))
     b = sk.select("bucket", F.col("id").alias("id_b"))
@@ -439,8 +503,8 @@ def embedding_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     cand = cand.join(
-        base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
-    ).join(base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
+        attach.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
+    ).join(attach.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
     return (
         cand.withColumn("cosine", dense_cosine_expr(F.col("v_a"), F.col("v_b")))
         .where(F.col("cosine") >= cosine_floor)

@@ -22,6 +22,7 @@ they live in the same row.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from entity_resolver_spark.functions.similarity import pack_vec_udf
@@ -79,19 +80,22 @@ def hashed_tfidf(
     # record at the 2^31 default space), which the cosine kernels
     # tolerate; skipping it halves the shuffle volume of this stage
     # (the exploded table crosses the wire once, not twice)
-    sv = F.array_sort(F.collect_list(F.struct("slot", "w")))
     if top_k is not None:
-        # keep top_k by weight (ties to smaller slot — deterministic,
-        # reference O14), then restore slot order
-        by_weight = F.array_sort(
-            sv,
-            lambda l, r: F.when(l["w"] > r["w"], F.lit(-1))
-            .when(l["w"] < r["w"], F.lit(1))
-            .when(l["slot"] < r["slot"], F.lit(-1))
-            .when(l["slot"] > r["slot"], F.lit(1))
-            .otherwise(F.lit(0)),
+        # r6: keep top_k by (weight desc, slot asc — deterministic,
+        # reference O14) via a codegen'd window instead of the former
+        # interpreted comparator array_sort over every record's full
+        # slot array (guide §4.1: HOF comparators evaluate interpreted
+        # per comparison). Ties are identical (slot, w) structs, so
+        # row_number order among them cannot change the kept multiset.
+        # The groupBy below reuses the window's hash partitioning, so
+        # this adds no exchange.
+        wk = W.partitionBy(id_col).orderBy(F.col("w").desc(), F.col("slot").asc())
+        weighted = (
+            weighted.withColumn("__rk", F.row_number().over(wk))
+            .where(F.col("__rk") <= top_k)
+            .drop("__rk")
         )
-        sv = F.array_sort(F.slice(by_weight, 1, top_k))
+    sv = F.array_sort(F.collect_list(F.struct("slot", "w")))
     vec = (
         weighted.groupBy(id_col)
         .agg(sv.alias("sv"))

@@ -41,11 +41,24 @@ def entry():
     return e
 
 
-def test_pair_joins_are_broadcast(spark, entry):
+def test_pair_queries_generate_kernel_side(spark, entry):
+    # r6: same-nation pairs are generated INSIDE the C block kernel
+    # (ckernels.block_pairs_map) — the plan must contain the
+    # mapInArrow node and, crucially, no join at all: a join would mean
+    # the 450M-row pair table crosses the JVM->Python Arrow boundary
+    # again (measured ~130-170s at sf1.0 vs ~10s for kernel-side
+    # generation). On compiler-less hosts the fallback is the r5
+    # broadcast-join plan.
+    from entity_resolver_spark.functions import ckernels
+
     qs = entry.queries()
     for name in ("lev_similarity", "jaro_winkler"):
         plan = _plan(qs[name](spark, SF_DIR))
-        assert "BroadcastHashJoin" in plan, f"{name}: pair join lost its broadcast"
+        if ckernels.available():
+            assert "MapInArrow" in plan, f"{name}: C block kernel not in plan"
+            assert "Join" not in plan, f"{name}: unexpected join around the kernel"
+        else:  # pragma: no cover - cc exists in CI/bench
+            assert "BroadcastHashJoin" in plan, f"{name}: pair join lost its broadcast"
         assert "SortMergeJoin" not in plan, f"{name}: 25-key join fell back to SMJ"
 
 
