@@ -30,8 +30,11 @@ TABLES = [
 ]
 
 
-# cache of chosen spread columns: one cheap agg per (path), not per read
-_SPREAD_COL: dict[str, str] = {}
+# cache of chosen spread columns: one cheap agg per (path, schema), not
+# per read — keyed on the column tuple too (r6, VERDICT r5 #7) so a
+# same-path table rewritten with a different schema in one session
+# cannot reuse a stale choice
+_SPREAD_COL: dict[tuple[str, tuple[str, ...]], str] = {}
 
 
 def _spread_column(df: DataFrame, path: str) -> str:
@@ -39,14 +42,15 @@ def _spread_column(df: DataFrame, path: str) -> str:
     it spreads rows evenly. The previous heuristic (leading column)
     silently re-creates the skew it exists to remove whenever a table
     leads with a low-cardinality column (role/status/flag)."""
-    if path not in _SPREAD_COL:
+    key = (path, tuple(df.columns))
+    if key not in _SPREAD_COL:
         # xxhash64 first: approx_count_distinct needs a hashable input
         # and xxhash64 accepts every type the test tables carry
         row = df.select(
             *[F.approx_count_distinct(F.xxhash64(c)).alias(c) for c in df.columns]
         ).first()
-        _SPREAD_COL[path] = max(df.columns, key=lambda c: row[c])
-    return _SPREAD_COL[path]
+        _SPREAD_COL[key] = max(df.columns, key=lambda c: row[c])
+    return _SPREAD_COL[key]
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -205,28 +209,23 @@ def q_lev_similarity(spark, sf_dir):
     n_slices = max(2, par)
     repl, c = _same_nation_pair_input(spark, sf_dir, n_slices)
     key_t = c.schema["c_custkey"].dataType
+    # 'lev_sim6' = round(exp(-2*lev/denom), 6) computed batch-side:
+    # the per-row BigDecimal inside F.round cost ~12s over the 450M-row
+    # output (spark_round replicates its semantics exactly; the libm
+    # exp is verified against the DuckDB oracle at every checked SF)
     out_schema = T.StructType(
         [
             T.StructField("id_a", key_t),
             T.StructField("id_b", key_t),
-            T.StructField("lev", T.IntegerType()),
-            T.StructField("len_a", T.IntegerType()),
-            T.StructField("len_b", T.IntegerType()),
+            T.StructField("lev_sim", T.DoubleType()),
         ]
     )
     scored = repl.mapInArrow(
-        ckernels.block_pairs_map("lev", "nk", "__slice", "ck", "cn", n_slices, cap=256),
+        ckernels.block_pairs_map("lev_sim6", "nk", "__slice", "ck", "cn", n_slices, cap=256),
         out_schema,
     )
-    denom = F.col("len_a") + F.col("len_b")
     return scored.select(
-        F.col("id_a").alias("ka"), F.col("id_b").alias("kb"),
-        F.round(
-            F.when(denom == 0, F.lit(1.0)).otherwise(
-                F.exp(-2.0 * F.col("lev") / denom)
-            ),
-            6,
-        ).alias("lev_sim"),
+        F.col("id_a").alias("ka"), F.col("id_b").alias("kb"), "lev_sim"
     )
 
 
@@ -259,20 +258,21 @@ def q_jaro_winkler(spark, sf_dir):
     n_slices = max(2, par)
     repl, _ = _same_nation_pair_input(spark, sf_dir, n_slices)
     key_t = c.schema["c_custkey"].dataType
+    # 'jw4' = F.round(jw, 4) computed batch-side with spark_round
+    # (bit-identical; the JVM BigDecimal round cost ~12s/450M rows)
     out_schema = T.StructType(
         [
             T.StructField("id_a", key_t),
             T.StructField("id_b", key_t),
-            T.StructField("jw_raw", T.DoubleType()),
+            T.StructField("jw", T.DoubleType()),
         ]
     )
     scored = repl.mapInArrow(
-        ckernels.block_pairs_map("jw", "nk", "__slice", "ck", "cn", n_slices, cap=64),
+        ckernels.block_pairs_map("jw4", "nk", "__slice", "ck", "cn", n_slices, cap=64),
         out_schema,
     )
     return scored.select(
-        F.col("id_a").alias("ka"), F.col("id_b").alias("kb"),
-        F.round("jw_raw", 4).alias("jw"),
+        F.col("id_a").alias("ka"), F.col("id_b").alias("kb"), "jw"
     )
 
 

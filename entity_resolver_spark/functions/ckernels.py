@@ -345,6 +345,42 @@ def lev_arrow(a: pa.Array, b: pa.Array, cap: int = 256) -> tuple[pa.Array, pa.Ar
     return pa.array(out_d), pa.array(out_la), pa.array(out_lb)
 
 
+def spark_round(x: np.ndarray, scale: int) -> np.ndarray:
+    """round(double, scale) with EXACTLY Spark's semantics
+    (BigDecimal.valueOf(x).setScale(scale, HALF_UP): decimal HALF_UP on
+    the shortest round-trip decimal representation), vectorized.
+
+    Spark's implementation allocates a BigDecimal per row (~25ns/row of
+    math plus allocation + GC; measured ~12s over the 450M-row pair
+    table). Fast path: floor(|x|*10^s + 0.5)/10^s. Both it and the
+    BigDecimal path equal true-decimal-rounding of the exact binary
+    value whenever that value is farther from a decimal midpoint than
+    their representation errors (shortest-repr: < 0.5 ulp; scaled
+    multiply: ~1e-12 at |x|*10^s <= 1e4), so they can only disagree
+    inside a ~1e-12 window around midpoints; every value within a
+    generous 1e-8 window is re-done with Decimal(repr(x)) — repr is the
+    same shortest round-trip decimal Java's Double.toString produces —
+    making the result bit-identical to F.round for every input."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    p = 10.0 ** scale
+    ax = np.abs(x)
+    y = ax * p
+    out = np.copysign(np.floor(y + 0.5) / p, x)
+    finite = np.isfinite(x)
+    frac = y - np.floor(y)
+    suspicious = finite & (np.abs(frac - 0.5) < 1e-8)
+    if suspicious.any():
+        q = Decimal(1).scaleb(-scale)
+        for i in np.nonzero(suspicious)[0]:
+            out[i] = float(
+                Decimal(repr(float(x[i]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    if not finite.all():
+        out[~finite] = x[~finite]
+    return out
+
+
 def block_pairs_map(
     metric: str,
     block_col: str,
@@ -376,11 +412,24 @@ def block_pairs_map(
 
     metric: 'jw'  -> columns (id_a, id_b, jw_raw double); null names
                      score 0.0 like the batch kernel.
+            'jw4' -> columns (id_a, id_b, jw double): jw_raw rounded to
+                     4 decimals with spark_round — bit-identical to
+                     F.round(jw_raw, 4), which cost ~12s/450M rows of
+                     per-row BigDecimal in the JVM.
             'lev' -> columns (id_a, id_b, lev int32, len_a, len_b)
                      with capped codepoint lengths; pairs touching a
                      null name get null lev (levenshtein() semantics).
+            'lev_sim6' -> columns (id_a, id_b, lev_sim double):
+                     round(denom == 0 ? 1.0 : exp(-2*lev/denom), 6)
+                     with denom = capped len_a + len_b — the full K1
+                     similarity. exp comes from libm (the same library
+                     the DuckDB oracle uses) instead of Java Math.exp;
+                     both are within 1 ulp of each other, and equality
+                     of the rounded values is verified against the
+                     oracle at every checked SF. Null-name pairs get
+                     null (levenshtein() propagation).
     """
-    if metric not in ("jw", "lev"):
+    if metric not in ("jw", "jw4", "lev", "lev_sim6"):
         raise ValueError(metric)
 
     def fn(batches):
@@ -417,7 +466,7 @@ def block_pairs_map(
         starts = np.concatenate(
             [[0], np.flatnonzero(np.diff(gid)) + 1, [n]]
         )
-        kernel = lib.jw_block if metric == "jw" else lib.lev_block
+        kernel = lib.jw_block if metric in ("jw", "jw4") else lib.lev_block
         for g in range(len(starts) - 1):
             st, en = int(starts[g]), int(starts[g + 1])
             idx = order[st:en]
@@ -433,7 +482,7 @@ def block_pairs_map(
                 continue
             oi = np.empty(max_out, dtype=np.int32)
             oj = np.empty(max_out, dtype=np.int32)
-            if metric == "jw":
+            if metric in ("jw", "jw4"):
                 ov = np.empty(max_out, dtype=np.float64)
             else:
                 ov = np.empty(max_out, dtype=np.int32)
@@ -447,6 +496,24 @@ def block_pairs_map(
                 cols = [ka, kb, ov]
                 names_out = ["id_a", "id_b", "jw_raw"]
                 arrays = [pa.array(x) for x in cols]
+            elif metric == "jw4":
+                arrays = [pa.array(ka), pa.array(kb), pa.array(spark_round(ov, 4))]
+                names_out = ["id_a", "id_b", "jw"]
+            elif metric == "lev_sim6":
+                la = gl[oi].astype(np.float64)
+                lb = gl[oj].astype(np.float64)
+                denom = la + lb
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = np.exp((ov.astype(np.float64) * -2.0) / denom)
+                sim = np.where(denom == 0.0, 1.0, sim)
+                sim = spark_round(sim, 6)
+                if nulls is not None:
+                    gn = nulls[idx]
+                    pair_null = gn[oi] | gn[oj]
+                    arrays = [pa.array(ka), pa.array(kb), pa.array(sim, mask=pair_null)]
+                else:
+                    arrays = [pa.array(ka), pa.array(kb), pa.array(sim)]
+                names_out = ["id_a", "id_b", "lev_sim"]
             else:
                 la, lb = gl[oi], gl[oj]
                 if nulls is not None:

@@ -123,6 +123,29 @@ def test_read_spread_picks_high_cardinality_column(spark, entry, tmp_path):
     assert max(sizes) < n, "all rows landed in one partition"
 
 
+def test_read_spread_cache_keyed_on_schema(spark, entry, tmp_path):
+    """Rewriting a same-path table with a DIFFERENT schema in one
+    session must re-derive the spread column instead of reusing the
+    stale cached choice (VERDICT r5 #7: the cache was keyed on path
+    alone)."""
+    import pyspark.sql.functions as F
+
+    p = f"{tmp_path}/reused.parquet"
+    spark.range(1000).select(
+        F.col("id").alias("hi_card"), (F.col("id") % 2).alias("lo_card")
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    entry._read(spark, str(tmp_path), "reused")
+    assert entry._SPREAD_COL[(p, ("hi_card", "lo_card"))] == "hi_card"
+
+    # same path, different schema: the old column name is gone entirely
+    spark.range(1000).select(
+        (F.col("id") % 2).alias("flag"), F.col("id").alias("uniq")
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    df = entry._read(spark, str(tmp_path), "reused")
+    assert entry._SPREAD_COL[(p, ("flag", "uniq"))] == "uniq"
+    assert df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
 def test_bench_effective_cores_env_cap():
     """bench.py's core cap is an env override, not a hard-coded host
     property (VERDICT r4 directive #5): requested>cap clamps, raising

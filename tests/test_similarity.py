@@ -129,3 +129,78 @@ def test_token_overlap(spark):
     )
     got = df.select(token_overlap_cosine_expr(F.col("ta"), F.col("tb")).alias("c")).first()["c"]
     assert got == pytest.approx(2 / 4)
+
+
+def test_spark_round_matches_f_round(spark):
+    """spark_round (the batch-side replica used by the r6 pair kernels)
+    must be bit-identical to F.round for doubles — including values
+    ULP-adjacent to decimal midpoints, where the fast scaled-floor path
+    defers to the Decimal(repr) fallback."""
+    import numpy as np
+
+    from entity_resolver_spark.functions.ckernels import spark_round
+
+    rng = np.random.default_rng(3)
+    vals = list(rng.random(4000)) + [0.0, 1.0, 0.99995, 0.100049999999]
+    for k in range(0, 10000, 37):
+        m = (k + 0.5) / 10000.0
+        vals += [
+            m, float(np.nextafter(m, 0)), float(np.nextafter(m, 2)),
+            m + 1e-13, m - 1e-13,
+        ]
+    for scale in (4, 6):
+        arr = np.array(vals, dtype=np.float64)
+        got = spark_round(arr, scale).tolist()
+        df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+        want = [r[0] for r in df.select(F.round("x", scale)).collect()]
+        assert got == want
+
+
+def test_block_pairs_kernel_rounded_matches_expr(spark):
+    """The jw4/lev_sim6 kernel outputs must equal the expression forms
+    (F.round(jw_expr), round(exp(-2*lev/denom), 6)) on a small block."""
+    import pyarrow as pa
+
+    from entity_resolver_spark.functions import ckernels
+
+    if not ckernels.available():
+        pytest.skip("no C compiler")
+    names = ["alpha beta", "alpha betta", "gamma", "alpha  beta", "x", ""]
+    rows = [(0, s, i, n) for i, n in enumerate(names) for s in range(2)]
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.int64()),
+            pa.array([r[1] for r in rows], pa.int32()),
+            pa.array([r[2] for r in rows], pa.int64()),
+            pa.array([r[3] for r in rows], pa.string()),
+        ],
+        names=["blk", "sl", "id", "nm"],
+    )
+    got = {}
+    for metric, col in (("jw4", "jw"), ("lev_sim6", "lev_sim")):
+        fn = ckernels.block_pairs_map(metric, "blk", "sl", "id", "nm", 2, cap=256)
+        out = pa.Table.from_batches(list(fn(iter([batch]))))
+        got[col] = {
+            (a, b): v
+            for a, b, v in zip(
+                out.column("id_a").to_pylist(),
+                out.column("id_b").to_pylist(),
+                out.column(col).to_pylist(),
+            )
+        }
+    n = len(names)
+    assert set(got["jw"]) == {(i, j) for i in range(n) for j in range(i + 1, n)}
+    from entity_resolver_spark.functions.similarity import jw_expr, lev_sim_expr
+
+    df = spark.createDataFrame(
+        [(i, j, names[i], names[j]) for i in range(n) for j in range(i + 1, n)],
+        "ia long, ib long, na string, nb string",
+    )
+    want = df.select(
+        "ia", "ib",
+        F.round(jw_expr(F.col("na"), F.col("nb")), 4).alias("jw"),
+        F.round(lev_sim_expr(F.col("na"), F.col("nb")), 6).alias("lev_sim"),
+    ).collect()
+    for r in want:
+        assert got["jw"][(r["ia"], r["ib"])] == r["jw"]
+        assert got["lev_sim"][(r["ia"], r["ib"])] == r["lev_sim"]
