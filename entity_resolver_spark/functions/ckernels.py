@@ -461,8 +461,11 @@ def block_pairs_map(
         lens = np.empty(n, dtype=np.int32)
         lib.decode_block(_ptr(data), _ptr(offs), n, eff_cap, _ptr(mat), _ptr(lens))
 
-        order = np.lexsort((keys, (blocks << 8) | slices))
-        gid = (blocks[order] << 8) | slices[order]
+        # block ids must fit 31 bits here (nation keys do; wider ids
+        # would need a composite sort) — slices get the low 32 so any
+        # realistic n_slices (= cluster parallelism) cannot collide
+        order = np.lexsort((keys, (blocks << 32) | slices))
+        gid = (blocks[order] << 32) | slices[order]
         starts = np.concatenate(
             [[0], np.flatnonzero(np.diff(gid)) + 1, [n]]
         )
