@@ -78,3 +78,19 @@ def test_deterministic_label_is_min_id(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert set(got.values()) == {"b2"}
+
+
+def test_distributed_path_matches_driver_fast_path(spark):
+    """r6: small edge sets take an exact driver union-find; the
+    distributed star rounds remain the at-scale path and must produce
+    IDENTICAL labels. Force both paths on the same graph and compare."""
+    import random
+
+    rng = random.Random(5)
+    edges = [(f"n{rng.randrange(300)}", f"n{rng.randrange(300)}") for _ in range(400)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    fast = {r["node"]: r["component"]
+            for r in connected_components(df).collect()}
+    dist = {r["node"]: r["component"]
+            for r in connected_components(df, driver_solve_max_edges=0).collect()}
+    assert fast == dist and len(fast) > 0
