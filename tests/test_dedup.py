@@ -54,6 +54,37 @@ def test_ngram_jaccard_matches_minhash_on_verified_pairs(docs):
     assert set(mh) <= set(ng)
 
 
+def test_ngram_size_prefilter_keeps_boundary_pairs(spark):
+    """The r6 size-ratio prefilter (J >= t implies t*max <= min over
+    DISTINCT shingle counts) must keep pairs sitting exactly ON the
+    ratio boundary and only drop pairs that provably cannot reach the
+    floor. Brute-force jaccard over distinct word-3-grams is the truth."""
+    # doc A: 6 words -> 4 shingles; doc B: A's words + 4 more -> 8
+    # shingles containing all of A's (n_a/n_b = 0.5, exactly the t=0.5
+    # boundary; J = 4/8 = 0.5 >= t must SURVIVE the prefilter)
+    a = "alpha beta gamma delta epsilon zeta"
+    b = a + " eta theta iota kappa"
+    # doc C: shares A's first 4 words (2 shingles of A's 4) but is 3x
+    # A's size -> ratio < t, provably below floor, must be dropped
+    c = "alpha beta gamma delta " + " ".join(f"w{i}" for i in range(14))
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, jaccard_floor=0.5).collect()
+    }
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sa, sb = sh(a), sh(b)
+    want = len(sa & sb) / len(sa | sb)
+    assert want == 0.5  # boundary by construction
+    assert got == {(1, 2): pytest.approx(want, abs=1e-12)}
+
+
 def test_simhash_near_dup(docs):
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=10).collect()}
     assert got[(1, 2)] == 0       # identical text -> identical simhash
