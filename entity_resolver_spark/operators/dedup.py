@@ -514,6 +514,25 @@ def embedding_dup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # r6 (second session): verify candidates in an ordered-NumPy kernel
+    # instead of two broadcast array joins + three interpreted 64-term
+    # Catalyst folds per pair. The joins materialized 128 doubles per
+    # candidate through the projection (~1GB per 1M candidates) and the
+    # interpreted folds dominated the query on near-dup-heavy corpora.
+    # Bit-identity with dense_cosine_expr (the DuckDB oracle pins the
+    # values): the kernel accumulates dot and the two norms in
+    # ASCENDING INDEX ORDER (a Python loop over dims, vectorized across
+    # pairs — each partial sum is the same IEEE-754 double add sequence
+    # as the fold), np.sqrt and Java's Math.sqrt are both correctly
+    # rounded, and the final expression replicates
+    # when(na==0 | nb==0, 0.0).otherwise(dot / (na * nb)) including the
+    # multiply-before-divide order. Gated to collectable vector tables
+    # (same 500k gate as the broadcast) with well-formed fixed-dim
+    # vectors; anything else keeps the JVM expression path.
+    if n_vecs <= 500_000:
+        kernel_out = _cosine_verify_kernel(cand, base, float(cosine_floor))
+        if kernel_out is not None:
+            return kernel_out
     cand = cand.join(
         attach.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
     ).join(attach.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
@@ -522,3 +541,85 @@ def embedding_dup_pairs(
         .where(F.col("cosine") >= cosine_floor)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def _cosine_verify_kernel(cand: DataFrame, base: DataFrame, floor: float):
+    """mapInArrow exact-cosine verification of (id_a, id_b) candidates
+    against a collected (id, vector) table. Returns None when the
+    vector table is not well-formed for the vectorized path (ragged or
+    null vectors, non-integral ids) — the caller falls back to the
+    JVM expression join. Value contract: bit-identical doubles to
+    dense_cosine_expr (see caller comment)."""
+    import pyarrow as pa_
+    from pyspark.sql import types as T_
+
+    # id must already be LongType so the kernel output schema equals the
+    # expression path's (which preserves the input id type)
+    if not isinstance(base.schema["id"].dataType, T_.LongType):
+        return None
+    pdf = base.toPandas()
+    if len(pdf) == 0:
+        return cand.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    vecs = pdf["v"].to_numpy()
+    if any(v is None for v in vecs):
+        return None
+    dims = {len(v) for v in vecs}
+    if len(dims) != 1:
+        return None
+    try:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    except ValueError:
+        return None
+    if not np.isfinite(M).all():
+        # Spark SQL treats NaN as greater than any double in `>=`;
+        # NumPy does not — keep non-finite corpora on the JVM path
+        return None
+    ids = pdf["id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = np.ascontiguousarray(ids[order])
+    M = np.ascontiguousarray(M[order])
+    d = M.shape[1]
+    # per-vector norms, ascending-index fold order (identical bits to
+    # the per-pair fold: the summed sequence is the same)
+    sq = np.zeros(len(M))
+    for i in range(d):
+        sq += M[:, i] * M[:, i]
+    nrm = np.sqrt(sq)
+    bc = cand.sparkSession.sparkContext.broadcast((ids, M, nrm))
+
+    def fn(batches):
+        b_ids, b_M, b_nrm = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ia = batch.column(0).to_numpy(zero_copy_only=False)
+            ib = batch.column(1).to_numpy(zero_copy_only=False)
+            pa_idx = np.searchsorted(b_ids, ia)
+            pb_idx = np.searchsorted(b_ids, ib)
+            P = b_M[pa_idx]
+            Q = b_M[pb_idx]
+            dot = np.zeros(len(ia))
+            for i in range(b_M.shape[1]):
+                dot += P[:, i] * Q[:, i]
+            na = b_nrm[pa_idx]
+            nb = b_nrm[pb_idx]
+            denom = na * nb
+            zero = (na == 0) | (nb == 0)
+            cos = np.where(zero, 0.0, dot / np.where(zero, 1.0, denom))
+            keep = cos >= floor
+            if not keep.any():
+                continue
+            yield pa_.RecordBatch.from_arrays(
+                [
+                    pa_.array(ia[keep], pa_.int64()),
+                    pa_.array(ib[keep], pa_.int64()),
+                    pa_.array(cos[keep], pa_.float64()),
+                ],
+                names=["id_a", "id_b", "cosine"],
+            )
+
+    return cand.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    ).mapInArrow(fn, "id_a long, id_b long, cosine double")

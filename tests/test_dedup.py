@@ -54,6 +54,48 @@ def test_ngram_jaccard_matches_minhash_on_verified_pairs(docs):
     assert set(mh) <= set(ng)
 
 
+def test_embedding_verify_kernel_matches_expression_path(spark):
+    """The r6 ordered-NumPy cosine verify must be bit-identical to the
+    JVM dense_cosine_expr path (same fold order, correctly-rounded
+    sqrt), and must refuse corpora it cannot reproduce exactly."""
+    from entity_resolver_spark.operators import dedup as D
+
+    # clustered vectors -> lots of candidates, incl. pairs near the floor
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((3, 16))
+    rows = []
+    for i in range(120):
+        v = centers[i % 3] + rng.standard_normal(16) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    new = D.embedding_dup_pairs(emb, cosine_floor=0.9)
+    orig = D._cosine_verify_kernel
+    try:
+        D._cosine_verify_kernel = lambda *a, **k: None  # force JVM path
+        old = D.embedding_dup_pairs(emb, cosine_floor=0.9)
+        assert new.schema == old.schema
+        assert new.exceptAll(old).count() == 0
+        assert old.exceptAll(new).count() == 0
+        assert new.count() > 100  # the fixture actually exercises pairs
+    finally:
+        D._cosine_verify_kernel = orig
+
+    # non-finite vectors must fall back (Spark's NaN >= floor is true,
+    # NumPy's is false — the kernel refuses rather than diverge)
+    bad = spark.createDataFrame(
+        [(0, [float("nan")] * 4), (1, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert D._cosine_verify_kernel(
+        bad.select(F.lit(0).alias("id_a"), F.lit(1).alias("id_b")),
+        bad.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")),
+        0.9,
+    ) is None
+
+
 def test_ngram_size_prefilter_keeps_boundary_pairs(spark):
     """The r6 size-ratio prefilter (J >= t implies t*max <= min over
     DISTINCT shingle counts) must keep pairs sitting exactly ON the
