@@ -505,7 +505,14 @@ def embedding_dup_pairs(
     base = base.localCheckpoint()
     n_vecs = base.count()
     attach = F.broadcast(base) if n_vecs <= 500_000 else base
-    sk = base.select("id", F.explode(_buckets(F.col("v"))).alias("bucket"))
+    # r6 (second session): materialize the (id, bucket) sketch rows —
+    # both sides of the bucket self-join referenced the sketch UDF's
+    # subtree and Spark evaluated the ArrowEvalPython projection TWICE
+    # (guide §4.4's duplication shape, fixed the §3.3 way; the table is
+    # n_tables rows/doc of two small columns)
+    sk = base.select(
+        "id", F.explode(_buckets(F.col("v"))).alias("bucket")
+    ).localCheckpoint()
     a = sk.select("bucket", F.col("id").alias("id_a"))
     b = sk.select("bucket", F.col("id").alias("id_b"))
     cand = (
