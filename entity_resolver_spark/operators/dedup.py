@@ -537,7 +537,9 @@ def embedding_dup_pairs(
     # (same 500k gate as the broadcast) with well-formed fixed-dim
     # vectors; anything else keeps the JVM expression path.
     if n_vecs <= 500_000:
-        kernel_out = _cosine_verify_kernel(cand, base, float(cosine_floor))
+        kernel_out = _cosine_verify_kernel(
+            cand, base, float(cosine_floor), n_vecs=n_vecs
+        )
         if kernel_out is not None:
             return kernel_out
     cand = cand.join(
@@ -550,7 +552,9 @@ def embedding_dup_pairs(
     )
 
 
-def _cosine_verify_kernel(cand: DataFrame, base: DataFrame, floor: float):
+def _cosine_verify_kernel(
+    cand: DataFrame, base: DataFrame, floor: float, n_vecs: int | None = None
+):
     """mapInArrow exact-cosine verification of (id_a, id_b) candidates
     against a collected (id, vector) table. Returns None when the
     vector table is not well-formed for the vectorized path (ragged or
@@ -564,6 +568,16 @@ def _cosine_verify_kernel(cand: DataFrame, base: DataFrame, floor: float):
     # expression path's (which preserves the input id type)
     if not isinstance(base.schema["id"].dataType, T_.LongType):
         return None
+    # driver-memory gate (guide §5: no record-scale collect): the row
+    # gate alone would let 500k HIGH-DIM vectors collect gigabytes —
+    # bound the element count (<= 32M doubles ~ 256MB) by probing one
+    # row's dimensionality before collecting
+    head = base.select("v").head(1)
+    if head and head[0][0] is not None:
+        if n_vecs is None:
+            n_vecs = base.count()
+        if len(head[0][0]) * n_vecs > 32_000_000:
+            return None
     pdf = base.toPandas()
     if len(pdf) == 0:
         return cand.sparkSession.createDataFrame(
